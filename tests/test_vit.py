@@ -1,0 +1,146 @@
+"""ViT parity: vidil_tpu.models.vit vs an inline torch oracle.
+
+The oracle mirrors the reference ViT math (pre-LN blocks, fused qkv,
+conv patch embed — reference models/vit.py) using plain torch ops, built
+from a randomly-initialized state dict with reference key names. This
+tests both the model and the convert_vit key mapping.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from vidil_tpu.config import ViTConfig
+from vidil_tpu.models.convert import convert_vit
+from vidil_tpu.models.vit import init_vit, interpolate_pos_embed, patchify, vit_forward
+
+CFG = ViTConfig(image_size=32, patch_size=16, hidden_size=32, num_layers=2, num_heads=4)
+
+
+def make_torch_state_dict(cfg: ViTConfig, seed=0, prefix="visual_encoder."):
+    g = torch.Generator().manual_seed(seed)
+    d = cfg.hidden_size
+
+    def t(*shape):
+        return torch.randn(*shape, generator=g) * 0.05
+
+    sd = {
+        prefix + "patch_embed.proj.weight": t(d, cfg.in_channels, cfg.patch_size, cfg.patch_size),
+        prefix + "patch_embed.proj.bias": t(d),
+        prefix + "cls_token": t(1, 1, d),
+        prefix + "pos_embed": t(1, cfg.seq_len, d),
+        prefix + "norm.weight": 1 + 0.1 * t(d),
+        prefix + "norm.bias": 0.1 * t(d),
+    }
+    for i in range(cfg.num_layers):
+        b = f"{prefix}blocks.{i}."
+        sd.update(
+            {
+                b + "norm1.weight": 1 + 0.1 * t(d),
+                b + "norm1.bias": 0.1 * t(d),
+                b + "attn.qkv.weight": t(3 * d, d),
+                b + "attn.qkv.bias": t(3 * d),
+                b + "attn.proj.weight": t(d, d),
+                b + "attn.proj.bias": t(d),
+                b + "norm2.weight": 1 + 0.1 * t(d),
+                b + "norm2.bias": 0.1 * t(d),
+                b + "mlp.fc1.weight": t(int(d * cfg.mlp_ratio), d),
+                b + "mlp.fc1.bias": t(int(d * cfg.mlp_ratio)),
+                b + "mlp.fc2.weight": t(d, int(d * cfg.mlp_ratio)),
+                b + "mlp.fc2.bias": t(d),
+            }
+        )
+    return sd
+
+
+def torch_vit_forward(sd, x, cfg: ViTConfig, prefix="visual_encoder."):
+    """Oracle forward: same math as reference models/vit.py:180-194."""
+    p = prefix
+    B = x.shape[0]
+    h = F.conv2d(x, sd[p + "patch_embed.proj.weight"], sd[p + "patch_embed.proj.bias"], stride=cfg.patch_size)
+    h = h.flatten(2).transpose(1, 2)  # (B, N, D)
+    cls = sd[p + "cls_token"].expand(B, -1, -1)
+    h = torch.cat([cls, h], dim=1)
+    h = h + sd[p + "pos_embed"][:, : h.shape[1], :]
+    nh = cfg.num_heads
+    for i in range(cfg.num_layers):
+        b = f"{p}blocks.{i}."
+        y = F.layer_norm(h, (cfg.hidden_size,), sd[b + "norm1.weight"], sd[b + "norm1.bias"], eps=cfg.layer_norm_eps)
+        qkv = F.linear(y, sd[b + "attn.qkv.weight"], sd[b + "attn.qkv.bias"])
+        B_, N, _ = y.shape
+        qkv = qkv.reshape(B_, N, 3, nh, cfg.hidden_size // nh).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q @ k.transpose(-2, -1)) * (cfg.hidden_size // nh) ** -0.5
+        attn = attn.softmax(dim=-1)
+        y = (attn @ v).transpose(1, 2).reshape(B_, N, cfg.hidden_size)
+        y = F.linear(y, sd[b + "attn.proj.weight"], sd[b + "attn.proj.bias"])
+        h = h + y
+        y = F.layer_norm(h, (cfg.hidden_size,), sd[b + "norm2.weight"], sd[b + "norm2.bias"], eps=cfg.layer_norm_eps)
+        y = F.linear(y, sd[b + "mlp.fc1.weight"], sd[b + "mlp.fc1.bias"])
+        y = F.gelu(y)
+        y = F.linear(y, sd[b + "mlp.fc2.weight"], sd[b + "mlp.fc2.bias"])
+        h = h + y
+    h = F.layer_norm(h, (cfg.hidden_size,), sd[p + "norm.weight"], sd[p + "norm.bias"], eps=cfg.layer_norm_eps)
+    return h
+
+
+def test_patchify_matches_conv():
+    cfg = CFG
+    sd = make_torch_state_dict(cfg)
+    x = torch.randn(2, 3, cfg.image_size, cfg.image_size, generator=torch.Generator().manual_seed(1))
+    ref = F.conv2d(x, sd["visual_encoder.patch_embed.proj.weight"], sd["visual_encoder.patch_embed.proj.bias"], stride=cfg.patch_size)
+    ref = ref.flatten(2).transpose(1, 2).numpy()
+
+    params = convert_vit({k: v.numpy() for k, v in sd.items()}, cfg)
+    x_nhwc = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    patches = patchify(x_nhwc, cfg.patch_size)
+    got = patches @ params["patch_embed"]["kernel"] + params["patch_embed"]["bias"]
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5)
+
+
+def test_vit_forward_parity():
+    cfg = CFG
+    sd = make_torch_state_dict(cfg)
+    x = torch.randn(2, 3, cfg.image_size, cfg.image_size, generator=torch.Generator().manual_seed(2))
+    ref = torch_vit_forward(sd, x, cfg).numpy()
+
+    params = convert_vit({k: v.numpy() for k, v in sd.items()}, cfg)
+    x_nhwc = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    got = np.asarray(vit_forward(params, x_nhwc, cfg))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_vit_forward_attn_path_matches_scan():
+    cfg = CFG
+    params = init_vit(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.image_size, cfg.image_size, 3))
+    a = vit_forward(params, x, cfg)
+    b, attns = vit_forward(params, x, cfg, return_attn=True)
+    assert len(attns) == cfg.num_layers
+    assert attns[0].shape == (2, cfg.num_heads, cfg.seq_len, cfg.seq_len)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_interpolate_pos_embed():
+    cfg = CFG
+    params = init_vit(jax.random.PRNGKey(0), cfg)
+    # 2x2 grid -> 4x4 grid
+    new = interpolate_pos_embed(params["pos_embed"], 16)
+    assert new.shape == (1, 17, cfg.hidden_size)
+    # identity when size matches
+    same = interpolate_pos_embed(params["pos_embed"], cfg.num_patches)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(params["pos_embed"]))
+
+
+def test_vit_bf16_close():
+    cfg = CFG
+    params = init_vit(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.image_size, cfg.image_size, 3))
+    f32 = np.asarray(vit_forward(params, x, cfg))
+    bf16 = np.asarray(vit_forward(params, x, cfg, dtype=jnp.bfloat16)).astype(np.float32)
+    assert np.max(np.abs(f32 - bf16)) < 0.15
+    assert np.mean(np.abs(f32 - bf16)) < 0.03

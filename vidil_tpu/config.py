@@ -1,0 +1,143 @@
+"""Config system: YAML pipeline/train configs + model architecture configs.
+
+Mirrors the reference's three-tier config scheme (yaml files loaded per
+entry point and echoed back into the output dir for provenance —
+reference: run_video_CapFilt.py:304-308 — plus JSON model-architecture
+configs like configs/med_config.json), with dataclasses for the model
+side so shapes are static and jit-friendly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass
+
+import yaml
+
+
+def load_yaml_config(path: str) -> dict:
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def dump_yaml_config(config: dict, out_dir: str, name: str = "config.yaml") -> None:
+    """Echo the resolved config into the output dir for provenance."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, name), "w") as f:
+        yaml.safe_dump(config, f, sort_keys=False)
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    """BLIP vision transformer (reference: models/blip.py:298-326).
+
+    base: 768d/12L/12H, large: 1024d/24L/16H; patch 16, pre-LN, GELU.
+    """
+
+    image_size: int = 384
+    patch_size: int = 16
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    layer_norm_eps: float = 1e-6
+    in_channels: int = 3
+    remat: bool = False  # jax.checkpoint on blocks (>= remat_from_layer)
+    remat_from_layer: int = 0
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1  # + [CLS]
+
+    @classmethod
+    def from_name(cls, vit: str, image_size: int, **kw) -> "ViTConfig":
+        if vit == "base":
+            return cls(image_size=image_size, hidden_size=768, num_layers=12, num_heads=12, **kw)
+        if vit == "large":
+            return cls(image_size=image_size, hidden_size=1024, num_layers=24, num_heads=16, **kw)
+        raise ValueError(f"unknown vit size: {vit}")
+
+
+@dataclass(frozen=True)
+class MedConfig:
+    """MED — BERT with optional cross-attention + causal LM
+    (reference: configs/med_config.json, models/med.py)."""
+
+    vocab_size: int = 30524
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    layer_norm_eps: float = 1e-12
+    encoder_width: int = 768
+    add_cross_attention: bool = True
+    pad_token_id: int = 0
+    hidden_act: str = "gelu"
+    label_smoothing: float = 0.1
+
+    @classmethod
+    def from_json(cls, path: str, **overrides) -> "MedConfig":
+        with open(path) as f:
+            raw = json.load(f)
+        mapped = dict(
+            vocab_size=raw.get("vocab_size", 30524),
+            hidden_size=raw.get("hidden_size", 768),
+            num_layers=raw.get("num_hidden_layers", 12),
+            num_heads=raw.get("num_attention_heads", 12),
+            intermediate_size=raw.get("intermediate_size", 3072),
+            max_position_embeddings=raw.get("max_position_embeddings", 512),
+            layer_norm_eps=raw.get("layer_norm_eps", 1e-12),
+            encoder_width=raw.get("encoder_width", 768),
+            add_cross_attention=raw.get("add_cross_attention", True),
+            pad_token_id=raw.get("pad_token_id", 0),
+            hidden_act=raw.get("hidden_act", "gelu"),
+        )
+        mapped.update(overrides)
+        return cls(**mapped)
+
+
+@dataclass(frozen=True)
+class CLIPConfig:
+    """OpenAI CLIP dual towers (ViT-L/14 defaults; HF clip-vit-large-patch14)."""
+
+    # vision tower
+    image_size: int = 224
+    patch_size: int = 14
+    vision_hidden_size: int = 1024
+    vision_layers: int = 24
+    vision_heads: int = 16
+    vision_intermediate_size: int = 4096
+    # text tower
+    vocab_size: int = 49408
+    text_hidden_size: int = 768
+    text_layers: int = 12
+    text_heads: int = 12
+    text_intermediate_size: int = 3072
+    max_text_len: int = 77
+    # shared
+    projection_dim: int = 768
+    layer_norm_eps: float = 1e-5
+    hidden_act: str = "quick_gelu"
+
+    @classmethod
+    def vit_b_32(cls) -> "CLIPConfig":
+        return cls(
+            patch_size=32, vision_hidden_size=768, vision_layers=12, vision_heads=12,
+            vision_intermediate_size=3072, text_hidden_size=512, text_heads=8,
+            text_intermediate_size=2048, projection_dim=512,
+        )
+
+    @classmethod
+    def vit_l_14(cls) -> "CLIPConfig":
+        return cls()
+
+
+def asdict(cfg) -> dict:
+    return dataclasses.asdict(cfg)

@@ -1,0 +1,407 @@
+"""MED: BERT encoder/decoder with cross-attention ("Mixture of Encoder-Decoder").
+
+Functional TPU-first re-design of the reference MED (reference:
+models/med.py — a BERT-base with optional cross-attention to a vision
+encoder and a causal-LM head; configs/med_config.json: 12L/768d, vocab
+30524, post-LN, absolute positions, no token-type embeddings).
+
+Modes (reference: models/med.py:670+, 358-370):
+  * ``mode='text'``       — bidirectional self-attention only.
+  * ``mode='multimodal'``  — bidirectional self-attn + cross-attn over
+    encoder (image/video) states.
+  * ``is_decoder=True``   — causal self-attn (+ cross-attn), used for LM
+    training and generation.
+
+TPU-first choices vs the reference:
+  * layers stacked on a leading axis and run with ``lax.scan``;
+  * generation uses a **preallocated fixed-shape KV cache** (no growing
+    tuple-of-tensors as in HF; reference: models/med.py:164-175) so the
+    decode step is a single compiled program;
+  * cross-attention K/V are **projected once** per generation and reused
+    every step — the reference re-projects the full N*P-token video
+    memory every decoded token (models/med.py:160-163);
+  * fp32 softmax/LN, bf16 matmuls when ``dtype=jnp.bfloat16``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from vidil_tpu.config import MedConfig
+from vidil_tpu.models.layers import (
+    ACT2FN,
+    dot_product_attention,
+    embedding_lookup,
+    init_embedding,
+    init_layer_norm,
+    init_linear,
+    layer_norm,
+    linear,
+    merge_heads,
+    split_heads,
+)
+
+NEG_INF = -10000.0  # additive-mask value, matching reference models/med.py:667
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init_med_layer(key, cfg: MedConfig):
+    ks = jax.random.split(key, 9)
+    d = cfg.hidden_size
+    layer = {
+        "self_attn": {
+            "query": init_linear(ks[0], d, d),
+            "key": init_linear(ks[1], d, d),
+            "value": init_linear(ks[2], d, d),
+            "out": init_linear(ks[3], d, d),
+            "norm": init_layer_norm(d),
+        },
+        "mlp": {
+            "fc1": init_linear(ks[4], d, cfg.intermediate_size),
+            "fc2": init_linear(ks[5], cfg.intermediate_size, d),
+        },
+        "mlp_norm": init_layer_norm(d),
+    }
+    if cfg.add_cross_attention:
+        layer["cross_attn"] = {
+            "query": init_linear(ks[6], d, d),
+            "key": init_linear(ks[7], cfg.encoder_width, d),
+            "value": init_linear(ks[8], cfg.encoder_width, d),
+            "out": init_linear(jax.random.fold_in(ks[6], 1), d, d),
+            "norm": init_layer_norm(d),
+        }
+    return layer
+
+
+def init_med(key, cfg: MedConfig, with_lm_head: bool = False, with_pooler: bool = False):
+    kw, kp, kl, kh = jax.random.split(key, 4)
+    layer_keys = jax.random.split(kl, cfg.num_layers)
+    layers = [init_med_layer(layer_keys[i], cfg) for i in range(cfg.num_layers)]
+    params: dict[str, Any] = {
+        "embeddings": {
+            "word": init_embedding(kw, cfg.vocab_size, cfg.hidden_size),
+            "position": init_embedding(kp, cfg.max_position_embeddings, cfg.hidden_size),
+            "norm": init_layer_norm(cfg.hidden_size),
+        },
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+    }
+    if with_pooler:
+        params["pooler"] = init_linear(jax.random.fold_in(kh, 2), cfg.hidden_size, cfg.hidden_size)
+    if with_lm_head:
+        # decoder weight is tied to the word embedding (HF tie_weights);
+        # only the transform + output bias are separate parameters.
+        params["cls"] = {
+            "transform": {
+                "dense": init_linear(kh, cfg.hidden_size, cfg.hidden_size),
+                "norm": init_layer_norm(cfg.hidden_size),
+            },
+            "bias": jnp.zeros((cfg.vocab_size,), jnp.float32),
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# masks
+# ---------------------------------------------------------------------------
+
+def extended_attention_mask(attention_mask, is_decoder: bool):
+    """Build the additive self-attention bias (reference: models/med.py:609-668).
+
+    attention_mask: (B, L) {0,1}. Returns (B, 1, Lq, L) additive bias.
+    For decoders a causal mask is AND-ed in.
+    """
+    B, L = attention_mask.shape
+    if is_decoder:
+        seq_ids = jnp.arange(L)
+        causal = (seq_ids[None, None, :] <= seq_ids[None, :, None]).astype(jnp.float32)
+        causal = jnp.broadcast_to(causal, (B, L, L))
+        mask = causal * attention_mask[:, None, :].astype(jnp.float32)
+        mask = mask[:, None, :, :]
+    else:
+        mask = attention_mask[:, None, None, :].astype(jnp.float32)
+    return (1.0 - mask) * NEG_INF
+
+
+def invert_attention_mask(encoder_attention_mask):
+    """(B, Lk) {0,1} -> (B, 1, 1, Lk) additive bias for cross-attention."""
+    m = encoder_attention_mask[:, None, None, :].astype(jnp.float32)
+    return (1.0 - m) * NEG_INF
+
+
+# ---------------------------------------------------------------------------
+# embeddings / head
+# ---------------------------------------------------------------------------
+
+def med_embeddings(params, input_ids, cfg: MedConfig, position_offset=0, dtype=None):
+    """Word + absolute position embeddings, LayerNorm (reference: med.py:52-94)."""
+    emb = embedding_lookup(params["embeddings"]["word"], input_ids)
+    L = input_ids.shape[-1]
+    positions = jnp.arange(L) + position_offset
+    emb = emb + embedding_lookup(params["embeddings"]["position"], positions)
+    if "type_bias" in params["embeddings"]:
+        # constant token-type-0 term from HF-style checkpoints (tests only;
+        # BLIP/MED checkpoints have no token-type embeddings)
+        emb = emb + params["embeddings"]["type_bias"]
+    emb = layer_norm(params["embeddings"]["norm"], emb, cfg.layer_norm_eps)
+    if dtype is not None:
+        emb = emb.astype(dtype)
+    return emb
+
+
+def med_lm_logits(params, hidden, cfg: MedConfig, dtype=None):
+    """LM head: transform -> tied-embedding decoder + bias (reference: med.py:518-535)."""
+    h = linear(params["cls"]["transform"]["dense"], hidden, dtype=dtype)
+    h = ACT2FN[cfg.hidden_act](h)
+    h = layer_norm(params["cls"]["transform"]["norm"], h, cfg.layer_norm_eps)
+    decoder_kernel = params["embeddings"]["word"]["embedding"].T
+    if dtype is not None:
+        decoder_kernel = decoder_kernel.astype(dtype)
+        h = h.astype(dtype)
+    logits = jnp.dot(h, decoder_kernel) + params["cls"]["bias"].astype(h.dtype)
+    return logits
+
+
+def med_pooler(params, hidden, dtype=None):
+    """Tanh pooler over the first token (reference: med.py:486-498)."""
+    return jnp.tanh(linear(params["pooler"], hidden[:, 0], dtype=dtype))
+
+
+# ---------------------------------------------------------------------------
+# attention sub-blocks (post-LN, BERT style)
+# ---------------------------------------------------------------------------
+
+def _attn_block(p, x, kv_states, bias, num_heads: int, eps: float, dtype=None):
+    """Project q from x, k/v from kv_states; attend; residual + LN."""
+    q = split_heads(linear(p["query"], x, dtype=dtype), num_heads)
+    k = split_heads(linear(p["key"], kv_states, dtype=dtype), num_heads)
+    v = split_heads(linear(p["value"], kv_states, dtype=dtype), num_heads)
+    ctx = merge_heads(dot_product_attention(q, k, v, bias=bias))
+    out = linear(p["out"], ctx, dtype=dtype)
+    return layer_norm(p["norm"], out + x, eps)
+
+
+def _attn_block_precomputed_kv(p, x, k, v, bias, num_heads: int, eps: float, dtype=None):
+    q = split_heads(linear(p["query"], x, dtype=dtype), num_heads)
+    ctx = merge_heads(dot_product_attention(q, k, v, bias=bias))
+    out = linear(p["out"], ctx, dtype=dtype)
+    return layer_norm(p["norm"], out + x, eps)
+
+
+def _ffn_block(layer, x, cfg: MedConfig, dtype=None):
+    h = linear(layer["mlp"]["fc1"], x, dtype=dtype)
+    h = ACT2FN[cfg.hidden_act](h)
+    h = linear(layer["mlp"]["fc2"], h, dtype=dtype)
+    return layer_norm(layer["mlp_norm"], h + x, cfg.layer_norm_eps)
+
+
+def med_layer_forward(
+    layer, x, self_bias, cfg: MedConfig,
+    encoder_hidden_states=None, cross_bias=None, dtype=None,
+):
+    """One MED layer: self-attn [-> cross-attn] -> FFN (reference: med.py:320-383)."""
+    x = _attn_block(layer["self_attn"], x, x, self_bias, cfg.num_heads, cfg.layer_norm_eps, dtype)
+    if encoder_hidden_states is not None:
+        x = _attn_block(
+            layer["cross_attn"], x, encoder_hidden_states, cross_bias,
+            cfg.num_heads, cfg.layer_norm_eps, dtype,
+        )
+    return _ffn_block(layer, x, cfg, dtype)
+
+
+# ---------------------------------------------------------------------------
+# full-sequence forward (encoder modes + decoder training)
+# ---------------------------------------------------------------------------
+
+def med_forward(
+    params,
+    input_ids,
+    attention_mask=None,
+    encoder_hidden_states=None,
+    encoder_attention_mask=None,
+    *,
+    cfg: MedConfig,
+    mode: str = "multimodal",
+    is_decoder: bool = False,
+    inputs_embeds=None,
+    dtype=None,
+):
+    """BertModel.forward equivalent (reference: models/med.py:670-807).
+
+    Returns the last hidden state (B, L, D).
+    """
+    if inputs_embeds is None:
+        x = med_embeddings(params, input_ids, cfg, dtype=dtype)
+        B, L = input_ids.shape
+    else:
+        x = inputs_embeds if dtype is None else inputs_embeds.astype(dtype)
+        B, L = inputs_embeds.shape[:2]
+
+    if attention_mask is None:
+        attention_mask = jnp.ones((B, L), jnp.int32)
+    self_bias = extended_attention_mask(attention_mask, is_decoder)
+
+    use_cross = mode == "multimodal" and encoder_hidden_states is not None
+    if use_cross:
+        if encoder_attention_mask is None:
+            encoder_attention_mask = jnp.ones(encoder_hidden_states.shape[:2], jnp.int32)
+        cross_bias = invert_attention_mask(encoder_attention_mask)
+        enc = encoder_hidden_states if dtype is None else encoder_hidden_states.astype(dtype)
+    else:
+        cross_bias = None
+        enc = None
+
+    def body(carry, layer):
+        def run(layer, carry):
+            return med_layer_forward(
+                layer, carry, self_bias, cfg,
+                encoder_hidden_states=enc, cross_bias=cross_bias, dtype=dtype,
+            )
+        out = run(layer, carry)
+        return out, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return x
+
+
+def med_lm_loss(logits, labels, label_smoothing: float = 0.1, reduction: str = "mean"):
+    """Shifted next-token CE with label smoothing (reference: med.py:909-917).
+
+    labels: int array with -100 = ignore. Matches torch CrossEntropyLoss
+    (label_smoothing=eps): loss = (1-eps)*nll + eps*mean_j(-log p_j).
+    """
+    logits = logits[:, :-1, :].astype(jnp.float32)
+    labels = labels[:, 1:]
+    valid = labels != -100
+    safe_labels = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    smooth = -jnp.mean(logp, axis=-1)
+    per_tok = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    per_tok = jnp.where(valid, per_tok, 0.0)
+    if reduction == "mean":
+        return per_tok.sum() / jnp.maximum(valid.sum(), 1)
+    if reduction == "none":
+        return per_tok.sum(axis=-1)  # per-sample sum (reference: med.py:916-917)
+    raise ValueError(reduction)
+
+
+# ---------------------------------------------------------------------------
+# generation: fixed-shape KV cache
+# ---------------------------------------------------------------------------
+
+def precompute_cross_kv(params, encoder_hidden_states, cfg: MedConfig, dtype=None):
+    """Project cross-attention K/V for all layers once per generation.
+
+    Returns (k, v) each (num_layers, B, H, Lk, Dh). The reference
+    re-projects these every decode step (models/med.py:160-163); on TPU we
+    hoist the projection out of the decode loop entirely.
+    """
+    enc = encoder_hidden_states if dtype is None else encoder_hidden_states.astype(dtype)
+
+    def per_layer(layer):
+        k = split_heads(linear(layer["cross_attn"]["key"], enc, dtype=dtype), cfg.num_heads)
+        v = split_heads(linear(layer["cross_attn"]["value"], enc, dtype=dtype), cfg.num_heads)
+        return k, v
+
+    ks, vs = jax.vmap(per_layer)(params["layers"])
+    return ks, vs
+
+
+def init_self_cache(cfg: MedConfig, batch: int, max_len: int, dtype=jnp.float32):
+    head_dim = cfg.hidden_size // cfg.num_heads
+    shape = (cfg.num_layers, batch, cfg.num_heads, max_len, head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def med_decode_prefill(
+    params, input_ids, cache, cross_k, cross_v, cross_bias, cfg: MedConfig, dtype=None,
+):
+    """Run the prompt through the decoder, filling cache[:, :, :, :Lp].
+
+    Returns (hidden (B, Lp, D), cache). Assumes the prompt is unpadded and
+    identical length across the batch (true for BLIP's fixed prompts).
+    """
+    B, Lp = input_ids.shape
+    x = med_embeddings(params, input_ids, cfg, dtype=dtype)
+    seq = jnp.arange(Lp)
+    causal_bias = jnp.where(seq[None, :] <= seq[:, None], 0.0, NEG_INF)[None, None]
+
+    def body(carry, scanned):
+        layer, ck, cv = scanned
+        x = carry
+        q = split_heads(linear(layer["self_attn"]["query"], x, dtype=dtype), cfg.num_heads)
+        k = split_heads(linear(layer["self_attn"]["key"], x, dtype=dtype), cfg.num_heads)
+        v = split_heads(linear(layer["self_attn"]["value"], x, dtype=dtype), cfg.num_heads)
+        ctx = merge_heads(dot_product_attention(q, k, v, bias=causal_bias))
+        h = linear(layer["self_attn"]["out"], ctx, dtype=dtype)
+        x = layer_norm(layer["self_attn"]["norm"], h + x, cfg.layer_norm_eps)
+        if cross_k is not None:
+            x = _attn_block_precomputed_kv(
+                layer["cross_attn"], x, ck, cv, cross_bias, cfg.num_heads, cfg.layer_norm_eps, dtype
+            )
+        x = _ffn_block(layer, x, cfg, dtype=dtype)
+        return x, (k, v)
+
+    scanned = (params["layers"], cross_k, cross_v)
+    x, (ks, vs) = jax.lax.scan(body, x, scanned)
+    cache = {
+        "k": jax.lax.dynamic_update_slice(cache["k"], ks.astype(cache["k"].dtype), (0, 0, 0, 0, 0)),
+        "v": jax.lax.dynamic_update_slice(cache["v"], vs.astype(cache["v"].dtype), (0, 0, 0, 0, 0)),
+    }
+    return x, cache
+
+
+def med_decode_step(
+    params, token_ids, step_index, cache, cross_k, cross_v, cross_bias, cfg: MedConfig, dtype=None,
+):
+    """Decode one token for the whole batch.
+
+    Args:
+      token_ids: (B,) current input token ids.
+      step_index: scalar int — absolute position of this token; cache slots
+        [0, step_index) are valid.
+    Returns (logits (B, V), new_cache).
+    """
+    B = token_ids.shape[0]
+    max_len = cache["k"].shape[3]
+    x = med_embeddings(params, token_ids[:, None], cfg, position_offset=step_index, dtype=dtype)
+
+    # attend over cache slots <= step_index
+    pos = jnp.arange(max_len)
+    step_bias = jnp.where(pos <= step_index, 0.0, NEG_INF)[None, None, None, :]
+
+    def body(carry, scanned):
+        layer, k_cache, v_cache, ck, cv = scanned
+        x = carry
+        q = split_heads(linear(layer["self_attn"]["query"], x, dtype=dtype), cfg.num_heads)
+        k_new = split_heads(linear(layer["self_attn"]["key"], x, dtype=dtype), cfg.num_heads)
+        v_new = split_heads(linear(layer["self_attn"]["value"], x, dtype=dtype), cfg.num_heads)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_new.astype(k_cache.dtype), (0, 0, step_index, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_new.astype(v_cache.dtype), (0, 0, step_index, 0)
+        )
+        ctx = merge_heads(
+            dot_product_attention(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), bias=step_bias)
+        )
+        h = linear(layer["self_attn"]["out"], ctx, dtype=dtype)
+        x = layer_norm(layer["self_attn"]["norm"], h + x, cfg.layer_norm_eps)
+        if cross_k is not None:
+            x = _attn_block_precomputed_kv(
+                layer["cross_attn"], x, ck, cv, cross_bias, cfg.num_heads, cfg.layer_norm_eps, dtype
+            )
+        x = _ffn_block(layer, x, cfg, dtype=dtype)
+        return x, (k_cache, v_cache)
+
+    scanned = (params["layers"], cache["k"], cache["v"], cross_k, cross_v)
+    x, (new_k, new_v) = jax.lax.scan(body, x, scanned)
+    logits = med_lm_logits(params, x[:, 0, :], cfg, dtype=dtype)
+    return logits.astype(jnp.float32), {"k": new_k, "v": new_v}
