@@ -31,7 +31,10 @@ def build_engine(config, dtype=None):
     from vidil_tpu.pipeline.capfilt import CapFiltEngine
     from vidil_tpu.tokenizer import BlipTokenizer
 
-    vit_cfg = ViTConfig.from_name(config["vit"], config["image_size"])
+    if "vit_config" in config:  # custom architecture (tests / non-standard sizes)
+        vit_cfg = ViTConfig(image_size=config["image_size"], **config["vit_config"])
+    else:
+        vit_cfg = ViTConfig.from_name(config["vit"], config["image_size"])
     med_cfg_path = config.get("med_config", os.path.join(os.path.dirname(__file__), "configs/med_config.json"))
     med_cfg = MedConfig.from_json(med_cfg_path, encoder_width=vit_cfg.hidden_size)
 
