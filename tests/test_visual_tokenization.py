@@ -1,0 +1,175 @@
+"""Visual tokenization tests: ontology semantics, aggregation, full CLI."""
+
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vidil_tpu.pipeline.visual_tokenization import (
+    aggregate_frame_tokens,
+    get_prefix_prompt_functions,
+    load_ontology,
+)
+
+
+def test_prompt_functions():
+    fns = get_prefix_prompt_functions("v1")
+    assert fns["objects"]("dog") == "A photo of dog"
+    fns0 = get_prefix_prompt_functions("v0")
+    assert fns0["scenes"]("beach") == "beach"
+
+
+def test_load_ontology_replicates_reference_quirk(tmp_path):
+    # the reference removes attribute terms found in objects while iterating
+    # the live list, skipping the successor of each removed element
+    objects = ["red", "blue", "dog"]
+    attributes = ["red", "blue", "shiny", "video"]
+    for name, data in [("o.json", objects), ("a.json", attributes),
+                       ("s.json", ["beach"]), ("v.json", {"running": 1})]:
+        json.dump(data, open(tmp_path / name, "w"))
+    out = load_ontology({
+        "objects": str(tmp_path / "o.json"), "attributes": str(tmp_path / "a.json"),
+        "scenes": str(tmp_path / "s.json"), "verbs": str(tmp_path / "v.json"),
+    })
+    # reference loop: removes 'red', skips 'blue' (iterator advance), keeps it
+    assert out["attributes"] == ["blue", "shiny"]  # 'video' in OMIT_KEYWORDS
+    assert out["objects"] == ["red", "blue", "dog"]
+    assert out["verbs"] == ["running"]
+
+
+def test_aggregate_frame_tokens():
+    frame_tokens = [
+        {"objects": ["dog", "cat"], "attributes": [], "scenes": ["beach", "park"], "verbs": ["run", "sit"]},
+        {"objects": ["dog", "bird"], "attributes": [], "scenes": ["park", "beach"], "verbs": ["run", "eat"]},
+    ]
+    agg = aggregate_frame_tokens(frame_tokens)
+    assert agg["objects"][0] == "dog"  # count 2 beats 1
+    assert len(agg["objects"]) == 2
+    assert set(agg["scenes"]) == {"beach", "park"}
+    assert agg["attributes"] == []
+
+
+@pytest.fixture(scope="module")
+def clip_workdir(tmp_path_factory):
+    import cv2
+    import torch
+    import yaml
+    from transformers import CLIPConfig as HFCLIPConfig
+    from transformers import CLIPModel, CLIPTextConfig, CLIPVisionConfig
+
+    from vidil_tpu.tokenizer import write_test_clip_bpe
+
+    root = tmp_path_factory.mktemp("vistok_cli")
+    videos = root / "videos"
+    videos.mkdir()
+    ann = {}
+    for vi in range(3):
+        path = str(videos / f"vid{vi}.mp4")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+        for i in range(24):
+            frame = np.zeros((48, 64, 3), np.uint8)
+            frame[:, :, vi % 3] = (i * 9 + vi * 60) % 255
+            w.write(frame)
+        w.release()
+        ann[f"vid{vi}"] = [f"caption for video {vi}"]
+    ann_path = str(root / "ann.json")
+    json.dump(ann, open(ann_path, "w"))
+
+    # tiny CLIP
+    words = ["a", "photo", "of", "dog", "cat", "bird", "red", "blue", "shiny",
+             "beach", "park", "kitchen", "running", "sitting", "eating"]
+    vocab_path, merges_path = str(root / "vocab.json"), str(root / "merges.txt")
+    write_test_clip_bpe(vocab_path, merges_path, words)
+    vocab_size = len(json.load(open(vocab_path)))
+
+    text_cfg = CLIPTextConfig(vocab_size=vocab_size, hidden_size=32, intermediate_size=64,
+                              num_hidden_layers=2, num_attention_heads=4,
+                              max_position_embeddings=16, hidden_act="quick_gelu",
+                              bos_token_id=vocab_size - 2, eos_token_id=vocab_size - 1)
+    vision_cfg = CLIPVisionConfig(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                                  num_attention_heads=4, image_size=28, patch_size=14,
+                                  hidden_act="quick_gelu")
+    torch.manual_seed(0)
+    hf = CLIPModel(HFCLIPConfig.from_text_vision_configs(text_cfg, vision_cfg, projection_dim=24))
+    ckpt_path = str(root / "clip.pth")
+    torch.save(hf.state_dict(), ckpt_path)
+
+    # tiny ontology
+    onto = root / "onto"
+    onto.mkdir()
+    json.dump(["dog", "cat", "bird"], open(onto / "objects.json", "w"))
+    json.dump(["red", "blue", "shiny"], open(onto / "attributes.json", "w"))
+    json.dump(["beach", "park", "kitchen"], open(onto / "scenes.json", "w"))
+    json.dump(["running", "sitting", "eating"], open(onto / "verbs.json", "w"))
+
+    config = dict(
+        video_roots=str(videos), video_formats="mp4", train_ann_jsons=ann_path,
+        frm_sampling_strategy="uniform", height=None, width=None,
+        start_time=None, end_time=None, fps=-1,
+        num_frm_visual_tokenization=4,
+        clip_config=dict(image_size=28, patch_size=14, vision_hidden_size=32,
+                         vision_layers=2, vision_heads=4, vision_intermediate_size=64,
+                         vocab_size=vocab_size, text_hidden_size=32, text_layers=2,
+                         text_heads=4, text_intermediate_size=64, max_text_len=16,
+                         projection_dim=24),
+        clip_ckpt=ckpt_path, clip_vocab=vocab_path, clip_merges=merges_path,
+        ontology="custom",
+        ontology_paths={
+            "objects": str(onto / "objects.json"), "attributes": str(onto / "attributes.json"),
+            "scenes": str(onto / "scenes.json"), "verbs": str(onto / "verbs.json"),
+        },
+        topk_visualize=2, prompt_version_visual_tokenization="v1",
+        save_frames=False, early_stop_step=-1, videos_per_batch=2,
+    )
+    return types.SimpleNamespace(root=root, config=config, ann=ann)
+
+
+def test_cli_clip_end_to_end(clip_workdir):
+    import run_visual_tokenization as cli
+
+    out_dir = str(clip_workdir.root / "out")
+    args = types.SimpleNamespace(
+        output_dir=out_dir, seed=42, world_size=1, dist_url="env://",
+        distributed=False, device="cpu", encoder_version="clip",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    cli.main(args, dict(clip_workdir.config))
+
+    tokens = json.load(open(os.path.join(out_dir, "visual_tokens.json")))
+    assert set(tokens.keys()) == {"vid0", "vid1", "vid2"}
+    for vid, obj in tokens.items():
+        assert obj["caption"] == clip_workdir.ann[vid]
+        assert len(obj["frame_tokens"]) == 4
+        for ft in obj["frame_tokens"]:
+            for key, vocab in [("objects", {"dog", "cat", "bird"}),
+                               ("attributes", {"red", "blue", "shiny"}),
+                               ("scenes", {"beach", "park", "kitchen"}),
+                               ("verbs", {"running", "sitting", "eating"})]:
+                assert len(ft[key]) == 2
+                assert set(ft[key]) <= vocab
+        agg = obj["aggregated_tokens"]
+        assert set(agg.keys()) == {"objects", "attributes", "scenes", "verbs"}
+        assert len(agg["objects"]) == 2
+    assert not os.path.exists(os.path.join(out_dir, "tmp"))
+
+
+def test_cli_deterministic(clip_workdir):
+    """Same inputs -> byte-identical visual_tokens.json (required for the
+    exact-match parity gate)."""
+    import run_visual_tokenization as cli
+
+    outs = []
+    for run in range(2):
+        out_dir = str(clip_workdir.root / f"det{run}")
+        args = types.SimpleNamespace(output_dir=out_dir, seed=42, world_size=1,
+                                     dist_url="env://", distributed=False,
+                                     device="cpu", encoder_version="clip")
+        os.makedirs(out_dir, exist_ok=True)
+        cli.main(args, dict(clip_workdir.config))
+        outs.append(open(os.path.join(out_dir, "visual_tokens.json")).read())
+    assert outs[0] == outs[1]

@@ -1,0 +1,391 @@
+"""Visual tokenization: zero-shot frame tagging against ontologies.
+
+TPU-first redesign of the reference driver (reference:
+run_visual_tokenization.py). The stage is, at its core, ONE large cosine
+matmul per ontology category: (all frame embeddings) x (ontology text
+embeddings)^T, followed by per-frame top-k and a frequency vote
+(:276,301-312). Here:
+
+* ontology text embeddings are computed once in batches of 512
+  (:84-96, EMBBDING_BATCH_LIMIT_TEXT=512) and can be cached to disk —
+  the ontology never changes between runs;
+* the scoring matmul runs on TPU in fp32 (``Precision.HIGHEST``) so the
+  top-k ordering matches the reference's fp32 torch matmul;
+* frames of many videos are embedded in one batched ViT call;
+* per-frame ``np.argsort(frm_score)[::-1][:topk]`` and the frequency
+  aggregation stay in exact reference form on the host (:173-187,301-308).
+
+Supports both encoder versions: 'clip' (cosine only) and 'blip'
+(cosine + per-frame ITM rerank of the top k_test texts, :277-293).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from functools import partial
+
+import numpy as np
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from vidil_tpu.config import CLIPConfig, MedConfig, ViTConfig
+from vidil_tpu.models import blip as BLIP
+from vidil_tpu.models import med as M
+from vidil_tpu.models.clip import clip_image_embeds, clip_text_embeds
+from vidil_tpu.models.layers import linear
+from vidil_tpu.ops.image import CLIP_MEAN, CLIP_STD
+
+# reference: run_visual_tokenization.py:471-472
+OMIT_KEYWORDS = [
+    "media player", "video", "playing video", "audio", "sound", "taking video",
+    "water mark", "water marked", "watermark", "watermarks", "for sale in",
+    "sold from", "stock", "sold on", "by viewers", "are provided by",
+    "are posted on", "for more", "tag with", "stream from", "viewed from",
+    "showing video of", "are on at", "shuttlecock", "shutter",
+    "shutter is white", "shutters have bones", "tape is looped",
+    "bliss wants you", "thumbnail", "technique",
+]
+
+EMBEDDING_BATCH_LIMIT_TEXT = 512  # reference :470
+
+
+def get_prefix_prompt_functions(version: str) -> dict:
+    """reference :56-80 — v0: identity; v1: 'A photo of {x}'."""
+    if version == "v0":
+        fn = lambda x: x
+    elif version == "v1":
+        fn = lambda x: f"A photo of {x}"
+    else:
+        raise ValueError(f"unknown prompt version {version}")
+    return {"objects": fn, "attributes": fn, "scenes": fn, "verbs": fn}
+
+
+def load_ontology(paths: dict, omit_keywords=OMIT_KEYWORDS) -> dict:
+    """Load + filter ontology term lists with the reference's exact
+    (order-preserving, iterate-while-removing) semantics (:383-406)."""
+    import json
+
+    def load(p):
+        with open(p) as f:
+            return json.load(f)
+
+    object_texts = load(paths["objects"])
+    attribute_texts = load(paths["attributes"])
+    scene_texts = load(paths["scenes"])
+    verb_texts = load(paths["verbs"])
+    if isinstance(verb_texts, dict):
+        verb_texts = list(verb_texts.keys())
+    # NOTE: the reference mutates the list while iterating it (:389-391),
+    # which skips the element after each removal — replicated exactly.
+    for key in attribute_texts:
+        if key in object_texts:
+            attribute_texts.remove(key)
+    for key in omit_keywords:
+        if key in object_texts:
+            object_texts.remove(key)
+        if key in attribute_texts:
+            attribute_texts.remove(key)
+        if key in scene_texts:
+            scene_texts.remove(key)
+        if key in verb_texts:
+            verb_texts.remove(key)
+    return {
+        "objects": object_texts,
+        "attributes": attribute_texts,
+        "scenes": scene_texts,
+        "verbs": verb_texts,
+    }
+
+
+def ontology_paths(ontology: str, root: str) -> dict:
+    """reference :369-381 — file layout of the vg / vg_tencent ontologies."""
+    import os
+
+    if ontology == "vg":
+        return {
+            "objects": os.path.join(root, "vg/openimage_classes_all_cleaned_fictional_characters.json"),
+            "attributes": os.path.join(root, "vg/vg_original_attributes_synsets_keys_cleaned_remove_similar0.9.json"),
+            "scenes": os.path.join(root, "vg/place365_ontology.json"),
+            "verbs": os.path.join(root, "vg/vg_srl_selected_object_synsets_keys_remove_similar0.9.json"),
+        }
+    if ontology == "vg_tencent":
+        return {
+            "objects": os.path.join(root, "vg_tencent/tencent_ml_images_objects.json"),
+            "attributes": os.path.join(root, "vg_tencent/vg_original_attributes_synsets_keys_cleaned_remove_similar0.9.json"),
+            "scenes": os.path.join(root, "vg/place365_ontology.json"),
+            "verbs": os.path.join(root, "vg_tencent/vg_srl_selected_object_synsets_keys_remove_similar0.9.json"),
+        }
+    raise ValueError(f"unknown ontology {ontology}")
+
+
+def aggregate_frame_tokens(frame_tokens: list[dict]) -> dict:
+    """Frequency vote over per-frame top-k lists (reference :173-187)."""
+    keys = frame_tokens[0].keys()
+    aggregated = {key: [] for key in keys}
+    topk = len(frame_tokens[0]["objects"])
+    num_frm = len(frame_tokens)
+    for key in keys:
+        if frame_tokens[0][key] == []:
+            continue
+        count_dict = defaultdict(int)
+        for j in range(topk):
+            for i in range(num_frm):
+                count_dict[frame_tokens[i][key][j]] += 1
+        candidates = sorted(count_dict.items(), key=lambda x: x[1], reverse=True)
+        aggregated[key] = [t for t, _ in candidates[:topk]]
+    return aggregated
+
+
+# ---------------------------------------------------------------------------
+# CLIP image preprocessing (CLIPProcessor parity: shortest-side resize +
+# center crop + normalize)
+# ---------------------------------------------------------------------------
+
+def clip_preprocess_pil(frames_u8: np.ndarray, size: int = 224) -> np.ndarray:
+    """(F, H, W, C) uint8 -> (F, size, size, C) uint8 via PIL bicubic
+    shortest-side resize + center crop (HF CLIPImageProcessor defaults)."""
+    out = np.empty((len(frames_u8), size, size, 3), np.uint8)
+    for i, frm in enumerate(frames_u8):
+        img = Image.fromarray(frm)
+        w, h = img.size
+        short, long = (w, h) if w <= h else (h, w)
+        new_short = size
+        new_long = int(size * long / short)
+        nw, nh = (new_short, new_long) if w <= h else (new_long, new_short)
+        img = img.resize((nw, nh), Image.BICUBIC)
+        left = (nw - size) // 2
+        top = (nh - size) // 2
+        out[i] = np.asarray(img.crop((left, top, left + size, top + size)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# engines
+# ---------------------------------------------------------------------------
+
+class ClipTokenizationEngine:
+    """encoder_version='clip': cosine scoring only (reference :295-296)."""
+
+    def __init__(self, clip_params, clip_cfg: CLIPConfig, clip_tokenizer, dtype=None):
+        self.params = clip_params
+        self.cfg = clip_cfg
+        self.tok = clip_tokenizer
+        mean = np.asarray(CLIP_MEAN, np.float32)
+        std = np.asarray(CLIP_STD, np.float32)
+
+        @jax.jit
+        def _embed_texts(ids):
+            return clip_text_embeds(clip_params, ids, clip_cfg, dtype=dtype)
+
+        @jax.jit
+        def _embed_frames(frames_u8):
+            x = (frames_u8.astype(jnp.float32) / 255.0 - mean) / std
+            return clip_image_embeds(clip_params, x, clip_cfg, dtype=dtype)
+
+        @jax.jit
+        def _sims(img, txt):
+            return jnp.dot(img, txt.T, precision=jax.lax.Precision.HIGHEST)
+
+        self._embed_texts = _embed_texts
+        self._embed_frames = _embed_frames
+        self._sims = _sims
+
+    def embed_texts(self, texts: list[str]) -> np.ndarray:
+        """Batched text embedding (batch 512, reference :84-96)."""
+        chunks = []
+        bs = EMBEDDING_BATCH_LIMIT_TEXT
+        for i in range(0, len(texts), bs):
+            enc = self.tok(texts[i : i + bs], padding="max_length",
+                           truncation=True, max_length=self.cfg.max_text_len)
+            n = enc.input_ids.shape[0]
+            ids = enc.input_ids
+            if n < bs and len(texts) > bs:
+                pad = np.tile(ids[-1:], (bs - n, 1))
+                ids = np.concatenate([ids, pad], axis=0)
+            emb = np.asarray(self._embed_texts(jnp.asarray(ids)))[:n]
+            chunks.append(emb)
+        return np.concatenate(chunks, axis=0)
+
+    def embed_frames(self, frames_u8: np.ndarray) -> np.ndarray:
+        """(F, S, S, C) uint8 (already CLIP-preprocessed) -> (F, D)."""
+        return np.asarray(self._embed_frames(jnp.asarray(frames_u8)))
+
+    def score(self, image_embeds: np.ndarray, text_embeds: np.ndarray) -> np.ndarray:
+        return np.asarray(self._sims(jnp.asarray(image_embeds), jnp.asarray(text_embeds)))
+
+
+class BlipTokenizationEngine:
+    """encoder_version='blip': cosine + per-frame ITM rerank (reference
+    :113-133,277-293). Uses BLIP retrieval-style params (blip_itm layout)."""
+
+    def __init__(self, params, vit_cfg: ViTConfig, med_cfg: MedConfig, tokenizer,
+                 k_test: int = 128, dtype=None):
+        self.params = params
+        self.vit_cfg = vit_cfg
+        self.med_cfg = med_cfg
+        self.tok = tokenizer
+        self.k_test = k_test
+        mean = np.asarray(CLIP_MEAN, np.float32)
+        std = np.asarray(CLIP_STD, np.float32)
+
+        @jax.jit
+        def _embed_texts(ids, mask):
+            hidden = M.med_forward(params["text_encoder"], ids, mask, cfg=med_cfg,
+                                   mode="text", dtype=dtype)
+            feat = linear(params["text_proj"], hidden[:, 0, :], dtype=dtype)
+            return feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
+
+        @jax.jit
+        def _embed_frames(frames_u8):
+            x = (frames_u8.astype(jnp.float32) / 255.0 - mean) / std
+            feats = BLIP.encode_images(params, x, vit_cfg, dtype=dtype)
+            emb = linear(params["vision_proj"], feats[:, 0, :], dtype=dtype)
+            emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+            return feats, emb
+
+        @jax.jit
+        def _itm(image_feat_rep, ids, mask):
+            logits = BLIP.blip_itm_scores(params, image_feat_rep, ids, mask, med_cfg, dtype=dtype)
+            return logits[:, 1]
+
+        self._embed_texts = _embed_texts
+        self._embed_frames_j = _embed_frames
+        self._itm = _itm
+
+    def embed_texts(self, texts: list[str]):
+        """Returns (text_embeds, text_ids, text_atts); ids get [ENC] at pos 0
+        for the ITM rerank (reference :114-133)."""
+        embeds, all_ids, all_atts = [], [], []
+        bs = EMBEDDING_BATCH_LIMIT_TEXT
+        for i in range(0, len(texts), bs):
+            enc = self.tok(texts[i : i + bs], padding="max_length", truncation=True, max_length=35)
+            emb = np.asarray(self._embed_texts(jnp.asarray(enc.input_ids), jnp.asarray(enc.attention_mask)))
+            embeds.append(emb)
+            all_ids.append(enc.input_ids)
+            all_atts.append(enc.attention_mask)
+        text_ids = np.concatenate(all_ids)
+        text_ids[:, 0] = self.tok.enc_token_id
+        return np.concatenate(embeds), text_ids, np.concatenate(all_atts)
+
+    def embed_frames(self, frames_u8: np.ndarray):
+        feats, emb = self._embed_frames_j(jnp.asarray(frames_u8))
+        return np.asarray(feats), np.asarray(emb)
+
+    def score(self, image_embeds, text_embeds):
+        return image_embeds @ text_embeds.T
+
+    def rerank(self, sims_row, image_feat, text_ids, text_atts):
+        """ITM rerank of the top k_test texts for one frame (reference
+        :277-293): score = itm_logit[:, 1] + topk_sim at the topk indices,
+        -100 elsewhere."""
+        k = min(self.k_test, sims_row.shape[0])
+        topk_idx = np.argsort(sims_row)[::-1][:k]
+        topk_sim = sims_row[topk_idx]
+        rep = np.broadcast_to(image_feat[None], (k,) + image_feat.shape)
+        scores = np.asarray(self._itm(
+            jnp.asarray(rep), jnp.asarray(text_ids[topk_idx]), jnp.asarray(text_atts[topk_idx])
+        ))
+        out = np.full(sims_row.shape, -100.0, np.float32)
+        out[topk_idx] = scores + topk_sim
+        return out
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def predict_videos(
+    engine,
+    video_frames: dict,
+    captions: dict,
+    visual_token_texts: dict,
+    prompt_functions: dict,
+    topk_visualize: int = 5,
+    text_cache: dict | None = None,
+) -> dict:
+    """Score every frame of every video against every ontology category.
+
+    video_frames: {video_id: (F, S, S, C) uint8 preprocessed frames}
+    captions: {video_id: caption str}
+    Returns the reference's videoid_2_visual_tokens structure (:268-314).
+    """
+    blip_mode = isinstance(engine, BlipTokenizationEngine)
+    video_ids = list(video_frames.keys())
+    num_frm = next(iter(video_frames.values())).shape[0]
+
+    # frame side: all videos in batched calls
+    if blip_mode:
+        feats_list, embeds_list = [], []
+        for vid in video_ids:
+            f, e = engine.embed_frames(video_frames[vid])
+            feats_list.append(f)
+            embeds_list.append(e)
+        image_feats = np.concatenate(feats_list)
+        image_embeds = np.concatenate(embeds_list)
+    else:
+        image_embeds = np.concatenate([engine.embed_frames(video_frames[v]) for v in video_ids])
+
+    result = {
+        vid: {"frame_tokens": [defaultdict(list) for _ in range(num_frm)], "caption": captions[vid]}
+        for vid in video_ids
+    }
+
+    for key in visual_token_texts.keys():
+        texts = [prompt_functions[key](t) for t in visual_token_texts[key]]
+        if text_cache is not None and key in text_cache:
+            text_side = text_cache[key]
+        else:
+            text_side = engine.embed_texts(texts)
+            if text_cache is not None:
+                text_cache[key] = text_side
+        if blip_mode:
+            text_embeds, text_ids, text_atts = text_side
+        else:
+            text_embeds = text_side
+
+        sims = engine.score(image_embeds, text_embeds)  # (n_frames_total, n_texts)
+        if blip_mode:
+            score = np.stack([
+                engine.rerank(sims[i], image_feats[i], text_ids, text_atts)
+                for i in range(sims.shape[0])
+            ])
+        else:
+            score = sims
+
+        score = score.reshape(len(video_ids), num_frm, -1)
+        for j, vid in enumerate(video_ids):
+            for frm_idx in range(num_frm):
+                frm_score = score[j][frm_idx]
+                inds = np.argsort(frm_score)[::-1][:topk_visualize]
+                result[vid]["frame_tokens"][frm_idx][key] = [visual_token_texts[key][ii] for ii in inds]
+
+    for vid, obj in result.items():
+        obj["frame_tokens"] = [dict(ft) for ft in obj["frame_tokens"]]
+        obj["aggregated_tokens"] = aggregate_frame_tokens(obj["frame_tokens"])
+    return result
+
+
+def make_clip_kmeans_selector(engine: ClipTokenizationEngine, downsample_ratio: int = 2):
+    """clip-kmeans frame selection (reference:
+    data/video_pretrain_dataset.py:189-216): embed every `downsample_ratio`-th
+    frame with CLIP, KMeans into num_frm clusters, sample one frame per
+    cluster with np.random."""
+    from sklearn.cluster import KMeans
+
+    def selector(vr, num_frm: int):
+        vlen = len(vr)
+        downsampled = np.arange(vlen, step=downsample_ratio, dtype=int)
+        frames = vr.get_batch(downsampled)
+        pre = clip_preprocess_pil(frames, engine.cfg.image_size)
+        emb = engine.embed_frames(pre)
+        kmeans = KMeans(n_clusters=num_frm, random_state=0).fit(emb)
+        labels = kmeans.labels_
+        out = []
+        for i in range(num_frm):
+            masked = np.where(labels == i)[0]
+            out.append(downsampled[np.random.choice(masked)])
+        return sorted(out)
+
+    return selector
