@@ -1,0 +1,92 @@
+"""Benchmark: CapFilt throughput (frames/sec/chip) on real hardware.
+
+Measures the flagship path — BLIP ViT-B/384 frame captioning with
+on-device beam search (beam=3, max_len=20, min_len=5) plus the ITM
+filtering pass — at the reference's default CapFilt configuration
+(reference: configs/pipeline_config/pipeline_config_msrvtt_train.yaml,
+run_video_CapFilt.py:101): 4 frames/video, 384px, BLIP-base.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+vs_baseline: the reference repo publishes no throughput numbers
+(BASELINE.md), so the baseline is the ESTIMATED reference rate of its
+per-video loop on A100 (decode one video's 4 frames per step through HF
+beam search + per-caption ITM loop) ~= 20 frames/s. Recorded explicitly
+in the extra fields so the estimate is auditable.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FRAMES_PER_SEC_A100_ESTIMATE = 20.0
+
+VIDEOS_PER_BATCH = 8
+NUM_FRM = 4
+IMAGE_SIZE = 384
+ITERS = 4
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vidil_tpu.config import MedConfig, ViTConfig
+    from vidil_tpu.models.blip import init_blip_decoder, init_blip_itm
+    from vidil_tpu.pipeline.capfilt import CapFiltEngine
+    from vidil_tpu.tokenizer import BlipTokenizer, write_test_vocab
+
+    # synthetic full-size vocab (weights are random; throughput only)
+    import tempfile, os
+
+    vocab_path = os.path.join(tempfile.gettempdir(), "bench_vocab.txt")
+    write_test_vocab(vocab_path, [f"tok{i}" for i in range(30418)])
+    tok = BlipTokenizer(vocab_path)
+
+    vit_cfg = ViTConfig.from_name("base", IMAGE_SIZE)
+    med_cfg = MedConfig(vocab_size=tok.vocab_size)
+
+    cap = init_blip_decoder(jax.random.PRNGKey(0), vit_cfg, med_cfg)
+    fil = init_blip_itm(jax.random.PRNGKey(1), vit_cfg, med_cfg)
+    engine = CapFiltEngine(cap, fil, tok, vit_cfg, med_cfg,
+                           num_beams=3, max_length=20, min_length=5,
+                           dtype=jnp.bfloat16)
+
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 256, size=(VIDEOS_PER_BATCH * NUM_FRM, IMAGE_SIZE, IMAGE_SIZE, 3)).astype(np.uint8)
+    chunk = [
+        {"video_id": f"v{i}", "frames": frames[i * NUM_FRM:(i + 1) * NUM_FRM], "text": []}
+        for i in range(VIDEOS_PER_BATCH)
+    ]
+    config = dict(caption=True, filter=True, filter_generated_only=True,
+                  keep_original_caption=False, threshold=0.4,
+                  filter_mode="max_filter", generation_mode="beam",
+                  do_sentence_tokenization=False)
+
+    # warmup (compile)
+    engine.run_chunk(chunk, config, rng=jax.random.PRNGKey(0))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        engine.run_chunk(chunk, config, rng=jax.random.PRNGKey(0))
+    dt = time.perf_counter() - t0
+
+    n_frames = ITERS * VIDEOS_PER_BATCH * NUM_FRM
+    fps = n_frames / dt
+    print(json.dumps({
+        "metric": "capfilt_caption_filter_throughput",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC_A100_ESTIMATE, 3),
+        "config": f"BLIP-base {IMAGE_SIZE}px, {NUM_FRM} frm/video, beam=3 len 5-20, ITM max_filter, bf16, batch={VIDEOS_PER_BATCH} videos",
+        "baseline_note": f"reference publishes no throughput; baseline = estimated A100 per-video-loop rate {BASELINE_FRAMES_PER_SEC_A100_ESTIMATE} frames/s",
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

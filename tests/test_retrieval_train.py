@@ -1,0 +1,136 @@
+"""Retrieval training: functional state, jitted step, SPMD over dp x tp mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vidil_tpu.config import MedConfig, ViTConfig
+from vidil_tpu.models.blip_retrieval import init_queue, dequeue_and_enqueue
+from vidil_tpu.parallel import make_mesh, shard_params
+from vidil_tpu.parallel.mesh import shard_batch
+from vidil_tpu.train.retrieval import (
+    create_train_state,
+    make_optimizer,
+    make_retrieval_train_step,
+)
+
+VIT = ViTConfig(image_size=32, patch_size=16, hidden_size=32, num_layers=2, num_heads=4)
+MED = MedConfig(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                intermediate_size=64, max_position_embeddings=64, encoder_width=32)
+EMBED = 8
+QUEUE = 32
+
+
+def make_batch(B=8, N=2, L=10, seed=0):
+    rng = np.random.RandomState(seed)
+    ids = rng.randint(4, MED.vocab_size, size=(B, L)).astype(np.int32)
+    enc = ids.copy()
+    enc[:, 0] = 3
+    return {
+        "video": rng.randn(B, N, 32, 32, 3).astype(np.float32) * 0.1,
+        "text_ids": ids,
+        "enc_ids": enc,
+        "text_mask": np.ones((B, L), np.int32),
+        "idx": np.arange(B, dtype=np.int32),
+    }
+
+
+@pytest.fixture(scope="module")
+def state_and_step():
+    opt = make_optimizer(1e-4)
+    state = create_train_state(jax.random.PRNGKey(0), VIT, MED, opt,
+                               embed_dim=EMBED, queue_size=QUEUE)
+    step = make_retrieval_train_step(VIT, MED, opt)
+    return state, step
+
+
+def test_train_step_runs_and_updates(state_and_step):
+    state, step = state_and_step
+    batch = make_batch()
+    jit_step = jax.jit(step)
+    s1, m1 = jit_step(state, batch, 0.4, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m1["loss"]))
+    assert float(m1["loss_ita"]) > 0 and float(m1["loss_itm"]) > 0
+    # params changed, momentum params moved slightly, queue advanced
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                     state.params["vision_proj"], s1.params["vision_proj"])
+    assert d["kernel"] > 0
+    assert int(s1.queue.ptr) == 8
+    assert int(s1.step) == 1
+    # second step wraps further
+    s2, m2 = jit_step(s1, make_batch(seed=1), 0.4, jax.random.PRNGKey(2))
+    assert int(s2.queue.ptr) == 16
+    assert np.isfinite(float(m2["loss"]))
+    # temp stays in clamp range
+    assert 0.001 <= float(s2.params["temp"]) <= 0.5
+
+
+def test_queue_wraparound():
+    q = init_queue(jax.random.PRNGKey(0), EMBED, QUEUE)
+    feats = jnp.ones((8, EMBED))
+    idxs = jnp.arange(8, dtype=jnp.int32)
+    for i in range(5):
+        q = dequeue_and_enqueue(q, feats * (i + 1), feats * (i + 1), idxs + i)
+    assert int(q.ptr) == 8  # 40 % 32
+    # slots 0..7 hold the 5th write
+    np.testing.assert_allclose(np.asarray(q.image[:, :8]), 5.0)
+    np.testing.assert_allclose(np.asarray(q.image[:, 8:16]), 2.0)
+
+
+def test_momentum_params_track():
+    opt = make_optimizer(1e-2)
+    state = create_train_state(jax.random.PRNGKey(0), VIT, MED, opt,
+                               embed_dim=EMBED, queue_size=QUEUE)
+    step = jax.jit(make_retrieval_train_step(VIT, MED, opt, momentum=0.5))
+    s = state
+    for i in range(3):
+        s, _ = step(s, make_batch(seed=i), 0.4, jax.random.PRNGKey(i))
+    # momentum params moved toward online params but lag behind
+    p = np.asarray(s.params["vision_proj"]["kernel"])
+    pm = np.asarray(s.params_m["vision_proj"]["kernel"])
+    p0 = np.asarray(state.params["vision_proj"]["kernel"])
+    assert not np.allclose(pm, p0)  # moved
+    assert not np.allclose(pm, p)  # but lagging
+
+
+def test_spmd_dp_tp_mesh_matches_single_device(state_and_step):
+    """One step on a 4x2 (data x model) mesh == single-device step."""
+    state, step = state_and_step
+    batch = make_batch()
+    rng = jax.random.PRNGKey(7)
+
+    ref_state, ref_metrics = jax.jit(step)(state, batch, 0.4, rng)
+
+    mesh = make_mesh(data=4, model=2)
+    with mesh:
+        sharded_params = shard_params(state.params, mesh)
+        sharded_state = state._replace(params=sharded_params)
+        sharded_batch = shard_batch(mesh, batch)
+        s1, m1 = jax.jit(step)(sharded_state, sharded_batch, 0.4, rng)
+
+    assert abs(float(m1["loss"]) - float(ref_metrics["loss"])) < 1e-3
+    # params agree across the distribution strategies
+    d = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        jax.device_get(s1.params["text_proj"]), jax.device_get(ref_state.params["text_proj"]),
+    )
+    assert max(d.values()) < 1e-3
+
+
+def test_partition_spec_rules():
+    from jax.sharding import PartitionSpec as P
+
+    from vidil_tpu.parallel.sharding import model_partition_spec
+
+    opt = make_optimizer(1e-4)
+    state = create_train_state(jax.random.PRNGKey(0), VIT, MED, opt,
+                               embed_dim=EMBED, queue_size=QUEUE)
+    specs = model_partition_spec(state.params, divisible_by=2)
+    assert specs["visual_encoder"]["blocks"]["attn"]["qkv"]["kernel"] == P(None, None, "model")
+    assert specs["visual_encoder"]["blocks"]["attn"]["proj"]["kernel"] == P(None, "model", None)
+    assert specs["text_encoder"]["layers"]["mlp"]["fc1"]["kernel"] == P(None, None, "model")
+    assert specs["text_encoder"]["layers"]["mlp"]["fc2"]["kernel"] == P(None, "model", None)
+    assert specs["visual_encoder"]["pos_embed"] == P()
+    assert specs["temp"] == P()

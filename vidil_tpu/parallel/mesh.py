@@ -1,0 +1,46 @@
+"""Device meshes and basic shardings.
+
+TPU-native replacement for the reference's torch.distributed/NCCL runtime
+(reference: utils.py:258-281, DDP wrapping at train_caption_video.py:163):
+a ``jax.sharding.Mesh`` over all devices, with data-parallelism as batch
+sharding on the 'data' axis and optional tensor parallelism on the
+'model' axis. XLA inserts the collectives (the reference's explicit
+all_gather/all_reduce calls) from sharding annotations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int | None = None, model: int = 1, devices=None) -> Mesh:
+    """Create a ('data', 'model') mesh.
+
+    Defaults to all devices on the data axis. ``data * model`` must equal
+    the device count used.
+    """
+    devices = jax.devices() if devices is None else devices
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device_put a pytree of host arrays with the batch axis sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
