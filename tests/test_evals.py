@@ -1,0 +1,128 @@
+"""Eval suite tests: caption metrics sanity, QA/VLEP mapping with a fake
+encoder, retrieval itm_eval."""
+
+import json
+
+import numpy as np
+import pytest
+
+from vidil_tpu.evals.caption import video_caption_eval
+from vidil_tpu.evals.caption_metrics import bleu, cider, compute_caption_scores, ptb_tokenize, rouge_l
+from vidil_tpu.evals.qa import (
+    clean_text_qa,
+    evaluate_generation_result_jsonl,
+    evaluate_ranking_result,
+    process_gpt3_response_jsonl,
+    question_aware_post_processing,
+)
+from vidil_tpu.evals.retrieval import itm_eval
+from vidil_tpu.evals.vlep import eval_multichoice, vlep_accuracy
+
+
+def fake_encoder(texts):
+    out = np.zeros((len(texts), 24), np.float32)
+    for i, t in enumerate(texts):
+        rng = np.random.RandomState(abs(hash(t.lower().strip())) % (2**31))
+        out[i] = rng.randn(24)
+    return out
+
+
+def test_bleu_perfect_match():
+    gts = {"a": [ptb_tokenize("a dog runs on the beach")]}
+    res = {"a": [ptb_tokenize("a dog runs on the beach")]}
+    scores = bleu(gts, res)
+    assert all(s > 0.999 for s in scores)
+
+
+def test_bleu_orders():
+    gts = {"a": [ptb_tokenize("the quick brown fox jumps over the lazy dog")]}
+    res = {"a": [ptb_tokenize("the quick brown fox sleeps near the lazy dog")]}
+    b = bleu(gts, res)
+    assert 1 > b[0] > b[1] > b[2] > b[3] > 0
+
+
+def test_rouge_and_cider():
+    gts = {
+        "a": [ptb_tokenize("a man is playing a guitar"), ptb_tokenize("someone plays guitar")],
+        "b": [ptb_tokenize("a dog runs in the park")],
+    }
+    res_good = {"a": [ptb_tokenize("a man is playing a guitar")], "b": [ptb_tokenize("a dog runs in the park")]}
+    res_bad = {"a": [ptb_tokenize("completely unrelated words here")], "b": [ptb_tokenize("nothing matches at all")]}
+    assert rouge_l(gts, res_good) > rouge_l(gts, res_bad)
+    assert cider(gts, res_good) > cider(gts, res_bad)
+    assert rouge_l(gts, res_good) > 0.99
+
+
+def test_video_caption_eval_end_to_end(tmp_path):
+    gt = [
+        {"caption": "a dog runs on the beach", "clip_name": "v1", "sen_id": 0},
+        {"caption": "a dog is running", "clip_name": "v1", "sen_id": 1},
+        {"caption": "a man plays guitar", "clip_name": "v2", "sen_id": 2},
+        {"caption": "unseen video", "clip_name": "v3", "sen_id": 3},
+    ]
+    results = {"v1": ["a dog runs on the beach"], "v2": ["a man plays a guitar"]}
+    res_path = str(tmp_path / "res.json")
+    json.dump(results, open(res_path, "w"))
+    out = video_caption_eval(gt, res_path, output_path=str(tmp_path / "metric.json"))
+    assert set(out) >= {"Bleu_1", "Bleu_4", "ROUGE_L", "CIDEr"}
+    assert 0 <= out["Bleu_4"] <= 1
+    assert json.load(open(tmp_path / "metric.json")) == out
+
+
+def test_qa_clean_and_postprocessing():
+    assert clean_text_qa("a cat. extra sentence") == "a cat"
+    assert clean_text_qa("ans\n\nObjects: x") == "ans"
+    assert question_aware_post_processing("what is he doing?", "not sure") == "talk"
+    assert question_aware_post_processing("who is there", "There is no one") == "person"
+    assert question_aware_post_processing("what color?", "red") == "red"
+
+
+def test_qa_ranking_and_generation(tmp_path):
+    gt_path = str(tmp_path / "gt.jsonl")
+    with open(gt_path, "w") as f:
+        for i, (q, a, vid) in enumerate([("what is it?", "dog", "v1"), ("who?", "cat", "v1"),
+                                         ("where?", "beach", "v2")]):
+            f.write(json.dumps({"question": q, "answer": a, "video_id": vid}) + "\n")
+
+    preds = [{"question_id": 0, "answer": "dog"}, {"question_id": 1, "answer": "cat"},
+             {"question_id": 2, "answer": "park"}]
+    acc = evaluate_ranking_result(preds, gt_path)
+    assert abs(acc - 2 / 3) < 1e-9
+
+    # gpt3 jsonl flow: raw responses -> tmp.jsonl -> mapped accuracy
+    raw_path = str(tmp_path / "raw.jsonl")
+    with open(raw_path, "w") as f:
+        for ans in ["dog.", "cat. and more", "beach"]:
+            f.write(json.dumps({"choices": [{"text": ans}]}) + "\n")
+    tmp_jsonl = process_gpt3_response_jsonl(raw_path, str(tmp_path))
+    idx_2_video_id = {"0": ["v1", 0], "1": ["v1", 1], "2": ["v2", 0]}
+    answer_list = str(tmp_path / "answers.json")
+    json.dump(["dog", "cat", "beach", "park"], open(answer_list, "w"))
+    acc = evaluate_generation_result_jsonl(tmp_jsonl, gt_path, answer_list,
+                                           idx_2_video_id, encoder=fake_encoder)
+    assert acc == 1.0  # identical strings map to themselves with any encoder
+
+
+def test_vlep_multichoice(tmp_path):
+    example_id_2_data = {
+        "0": {"video_id": "v1", "events": ["the dog barks", "the cat leaves"], "answer": 0},
+        "1": {"video_id": "v2", "events": ["he falls", "he jumps"], "answer": 1},
+    }
+    results = {"0": "the dog barks", "1": "he jumps"}
+    out_path = str(tmp_path / "sub.jsonl")
+    lines = eval_multichoice(results, example_id_2_data, out_path, encoder=fake_encoder)
+    assert [l["pred_ans"] for l in lines] == [0, 1]
+    assert vlep_accuracy(lines, example_id_2_data) == 1.0
+    written = [json.loads(l) for l in open(out_path)]
+    assert written == lines
+
+
+def test_itm_eval_perfect_and_random():
+    n = 20
+    perfect = np.eye(n) * 10 + np.random.RandomState(0).randn(n, n) * 0.01
+    metrics = itm_eval(perfect, perfect, list(range(n)), list(range(n)))
+    assert metrics["txt_r1"] == 100.0 and metrics["vid_r1"] == 100.0
+    assert metrics["vid_mdR"] == 1.0
+    rnd = np.random.RandomState(1).randn(n, n)
+    m2 = itm_eval(rnd, rnd, list(range(n)), list(range(n)))
+    assert m2["r_mean"] < metrics["r_mean"]

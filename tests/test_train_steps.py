@@ -1,0 +1,127 @@
+"""Caption / VQA / pretrain train steps: run, update, stay finite."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vidil_tpu.config import MedConfig, ViTConfig
+from vidil_tpu.models.blip import init_blip_decoder, init_blip_itm
+from vidil_tpu.models.blip_vqa import init_blip_vqa, rank_answer, vqa_generate_ids
+from vidil_tpu.train.caption import (
+    create_caption_train_state,
+    make_caption_train_step,
+    select_frame_itm,
+)
+from vidil_tpu.train.pretrain import create_pretrain_state, make_pretrain_step
+from vidil_tpu.train.retrieval import make_optimizer
+from vidil_tpu.train.vqa import create_vqa_train_state, make_vqa_train_step
+
+VIT = ViTConfig(image_size=32, patch_size=16, hidden_size=32, num_layers=2, num_heads=4)
+MED = MedConfig(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                intermediate_size=64, max_position_embeddings=64, encoder_width=32)
+
+
+class FakeTok:
+    bos_token_id = 1
+    sep_token_id = 5
+    pad_token_id = 0
+    enc_token_id = 3
+
+
+def test_caption_train_step():
+    opt = make_optimizer(1e-4)
+    params = init_blip_decoder(jax.random.PRNGKey(0), VIT, MED)
+    state = create_caption_train_state(params, opt)
+    step = jax.jit(make_caption_train_step(VIT, MED, opt, prompt_length=3))
+    rng = np.random.RandomState(0)
+    batch = {
+        "video": rng.randn(2, 2, 32, 32, 3).astype(np.float32) * 0.1,
+        "input_ids": rng.randint(6, 64, size=(2, 12)).astype(np.int32),
+        "attention_mask": np.ones((2, 12), np.int32),
+    }
+    losses = []
+    for _ in range(3):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]  # overfits a fixed tiny batch
+
+
+def test_select_frame_itm():
+    params = init_blip_itm(jax.random.PRNGKey(1), VIT, MED)
+    rng = np.random.RandomState(1)
+    frames = jnp.asarray(rng.randn(3, 32, 32, 3).astype(np.float32))
+    ids = jnp.asarray(rng.randint(6, 64, size=(8,)).astype(np.int32))
+    mask = jnp.ones((8,), jnp.int32)
+    idx = int(select_frame_itm(params, frames, ids, mask, VIT, MED))
+    assert 0 <= idx < 3
+
+
+def test_vqa_train_step_and_inference():
+    opt = make_optimizer(1e-4)
+    params = init_blip_vqa(jax.random.PRNGKey(2), VIT, MED)
+    state = create_vqa_train_state(params, opt)
+    step = jax.jit(make_vqa_train_step(VIT, MED, opt))
+    rng = np.random.RandomState(2)
+    B, A = 2, 3  # 2 questions, 3 answers total (ragged: 2 + 1)
+    batch = {
+        "video": rng.randn(B, 2, 32, 32, 3).astype(np.float32) * 0.1,
+        "question_ids": rng.randint(6, 64, size=(B, 9)).astype(np.int32),
+        "question_mask": np.ones((B, 9), np.int32),
+        "answer_ids": rng.randint(6, 64, size=(A, 5)).astype(np.int32),
+        "answer_mask": np.ones((A, 5), np.int32),
+        "answer_question_index": np.array([0, 0, 1], np.int32),
+        "weights": np.array([0.2, 0.2, 0.2], np.float32),
+    }
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+
+    # inference paths
+    from vidil_tpu.models.blip import encode_video_frames
+
+    embeds = encode_video_frames(state.params, jnp.asarray(batch["video"]), VIT)
+    seqs = vqa_generate_ids(state.params, embeds, jnp.asarray(batch["question_ids"]),
+                            jnp.asarray(batch["question_mask"]), MED, FakeTok, max_length=8)
+    assert seqs.shape == (B, 8)
+    assert (np.asarray(seqs)[:, 0] == FakeTok.bos_token_id).all()
+
+    answers = rng.randint(6, 64, size=(10, 4)).astype(np.int32)
+    answers[:, 0] = FakeTok.bos_token_id
+    ranked = rank_answer(state.params, embeds, jnp.asarray(batch["question_ids"]),
+                         jnp.asarray(batch["question_mask"]), jnp.asarray(answers),
+                         jnp.ones((10, 4), jnp.int32), k=4, med_cfg=MED, tokenizer=FakeTok)
+    assert ranked.shape == (B,)
+    assert ((0 <= np.asarray(ranked)) & (np.asarray(ranked) < 10)).all()
+
+
+def test_pretrain_step_and_weight_tying():
+    opt = make_optimizer(1e-3)
+    state = create_pretrain_state(jax.random.PRNGKey(3), VIT, MED, opt,
+                                  embed_dim=8, queue_size=16)
+    step = jax.jit(make_pretrain_step(VIT, MED, opt))
+    rng = np.random.RandomState(3)
+    B = 4
+    ids = rng.randint(6, 64, size=(B, 10)).astype(np.int32)
+    enc, dec = ids.copy(), ids.copy()
+    enc[:, 0] = 3
+    dec[:, 0] = 1
+    batch = {
+        "video": rng.randn(B, 2, 32, 32, 3).astype(np.float32) * 0.1,
+        "text_ids": ids, "enc_ids": enc, "dec_ids": dec,
+        "text_mask": np.ones((B, 10), np.int32),
+    }
+    s0 = state
+    state, m = step(state, batch, 0.4, jax.random.PRNGKey(0))
+    for k in ("loss", "loss_ita", "loss_itm", "loss_lm"):
+        assert np.isfinite(float(m[k])), k
+    assert int(state.queue.ptr) == B
+    # tying: the LM loss must produce gradients in the (shared) encoder FFN
+    ffn0 = np.asarray(s0.params["text_encoder"]["layers"]["mlp"]["fc1"]["kernel"])
+    ffn1 = np.asarray(state.params["text_encoder"]["layers"]["mlp"]["fc1"]["kernel"])
+    assert not np.allclose(ffn0, ffn1)
+    # decoder-owned attention also updated
+    a0 = np.asarray(s0.params["decoder_attn"]["self_attn"]["query"]["kernel"])
+    a1 = np.asarray(state.params["decoder_attn"]["self_attn"]["query"]["kernel"])
+    assert not np.allclose(a0, a1)

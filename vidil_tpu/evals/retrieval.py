@@ -1,0 +1,153 @@
+"""Video-text retrieval evaluation: full sims matrix + k_test ITM rerank.
+
+Reference: train_retrieval_video.py:83-237. TPU-first changes: the per-row
+python rerank loop becomes batched jitted ITM calls (rows × k_test pairs
+per program), with the same score = itm_logit + topk_sim at the top-k
+positions and -100 elsewhere; the reference's rank-sharded loop +
+all_reduce is kept at the host level for multi-host runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vidil_tpu.config import MedConfig, ViTConfig
+from vidil_tpu.models import blip as B
+from vidil_tpu.models import med as M
+from vidil_tpu.models.layers import linear
+from vidil_tpu.utils import get_rank, get_world_size, shard_range
+
+
+class RetrievalEvaluator:
+    def __init__(self, params, vit_cfg: ViTConfig, med_cfg: MedConfig, tokenizer,
+                 k_test: int = 64, dtype=jnp.bfloat16, rows_per_batch: int = 8):
+        self.params = params
+        self.vit_cfg = vit_cfg
+        self.med_cfg = med_cfg
+        self.tok = tokenizer
+        self.k_test = k_test
+        self.rows_per_batch = rows_per_batch
+
+        @jax.jit
+        def _text_side(ids, mask):
+            hidden = M.med_forward(params["text_encoder"], ids, mask, cfg=med_cfg,
+                                   mode="text", dtype=dtype)
+            feat = linear(params["text_proj"], hidden[:, 0, :], dtype=dtype)
+            return (feat / jnp.linalg.norm(feat.astype(jnp.float32), axis=-1, keepdims=True).astype(feat.dtype)).astype(jnp.float32)
+
+        @jax.jit
+        def _video_side(video):
+            Bv, N = video.shape[:2]
+            flat = video.reshape((Bv * N,) + video.shape[2:])
+            feats = B.encode_images(params, flat, vit_cfg, dtype=dtype)
+            emb = linear(params["vision_proj"], feats[:, 0, :], dtype=dtype)
+            emb = emb.reshape(Bv, N, -1).mean(axis=1)
+            emb = emb / jnp.linalg.norm(emb.astype(jnp.float32), axis=-1, keepdims=True).astype(emb.dtype)
+            video_feats = feats.reshape(Bv, N * feats.shape[1], feats.shape[2])
+            return video_feats, emb.astype(jnp.float32)
+
+        @jax.jit
+        def _itm(video_feats_pairs, ids, mask):
+            logits = B.blip_itm_scores(params, video_feats_pairs, ids, mask, med_cfg, dtype=dtype)
+            return logits[:, 1]
+
+        self._text_side = _text_side
+        self._video_side = _video_side
+        self._itm = _itm
+
+    def compute_text_features(self, texts: list[str], batch_size: int = 256):
+        """reference :93-112 (text_bs=256, [ENC] substituted after encoding)."""
+        embeds, ids, atts = [], [], []
+        for i in range(0, len(texts), batch_size):
+            enc = self.tok(texts[i : i + batch_size], padding="max_length",
+                           truncation=True, max_length=35)
+            embeds.append(np.asarray(self._text_side(jnp.asarray(enc.input_ids),
+                                                     jnp.asarray(enc.attention_mask))))
+            ids.append(enc.input_ids)
+            atts.append(enc.attention_mask)
+        text_ids = np.concatenate(ids)
+        text_ids[:, 0] = self.tok.enc_token_id
+        return np.concatenate(embeds), text_ids, np.concatenate(atts)
+
+    def compute_video_features(self, video_batches):
+        """video_batches: iterable of (B, N, S, S, C) normalized arrays."""
+        feats, embeds = [], []
+        for video in video_batches:
+            f, e = self._video_side(jnp.asarray(video))
+            feats.append(np.asarray(f))
+            embeds.append(np.asarray(e))
+        return np.concatenate(feats), np.concatenate(embeds)
+
+    def _rerank_rows(self, sims, row_feats_fn, make_pairs):
+        """Shared k_test rerank over this rank's row shard."""
+        n_rows, n_cols = sims.shape
+        k = min(self.k_test, n_cols)
+        scores = np.full(sims.shape, -100.0, np.float32)
+        start, end = shard_range(n_rows)
+        for i in range(start, end):
+            topk_idx = np.argsort(sims[i])[::-1][:k]
+            topk_sim = sims[i][topk_idx]
+            img, ids, mask = make_pairs(i, topk_idx)
+            itm = np.asarray(self._itm(jnp.asarray(img), jnp.asarray(ids), jnp.asarray(mask)))
+            scores[i, topk_idx] = itm + topk_sim
+        return scores
+
+    def score_matrices(self, video_feats, video_embeds, text_embeds, text_ids, text_atts):
+        """Full v2t / t2v score matrices (reference :135-186)."""
+        sims = video_embeds @ text_embeds.T
+
+        def pairs_v2t(i, topk_idx):
+            k = len(topk_idx)
+            img = np.broadcast_to(video_feats[i][None], (k,) + video_feats[i].shape)
+            return img, text_ids[topk_idx], text_atts[topk_idx]
+
+        score_v2t = self._rerank_rows(sims, None, pairs_v2t)
+
+        sims_t = sims.T
+
+        def pairs_t2v(i, topk_idx):
+            k = len(topk_idx)
+            img = video_feats[topk_idx]
+            ids = np.broadcast_to(text_ids[i][None], (k,) + text_ids[i].shape)
+            mask = np.broadcast_to(text_atts[i][None], (k,) + text_atts[i].shape)
+            return img, ids, mask
+
+        score_t2v = self._rerank_rows(sims_t, None, pairs_t2v)
+
+        if get_world_size() > 1:
+            from jax.experimental import multihost_utils
+
+            score_v2t = multihost_utils.process_allgather(score_v2t).sum(axis=0) + 100.0 * (get_world_size() - 1)
+            score_t2v = multihost_utils.process_allgather(score_t2v).sum(axis=0) + 100.0 * (get_world_size() - 1)
+        return score_v2t, score_t2v
+
+
+def itm_eval(scores_v2t, scores_t2v, txt2vid, vid2txt) -> dict:
+    """R@1/5/10 + median rank (reference :195-237)."""
+    ranks = np.zeros(scores_v2t.shape[0])
+    for index, score in enumerate(scores_v2t):
+        inds = np.argsort(score)[::-1]
+        ranks[index] = np.where(inds == vid2txt[index])[0][0]
+    tr1 = 100.0 * len(np.where(ranks < 1)[0]) / len(ranks)
+    tr5 = 100.0 * len(np.where(ranks < 5)[0]) / len(ranks)
+    tr10 = 100.0 * len(np.where(ranks < 10)[0]) / len(ranks)
+
+    ranks = np.zeros(scores_t2v.shape[0])
+    for index, score in enumerate(scores_t2v):
+        inds = np.argsort(score)[::-1]
+        ranks[index] = np.where(inds == txt2vid[index])[0][0]
+    mdR = np.median(ranks + 1)
+    vr1 = 100.0 * len(np.where(ranks < 1)[0]) / len(ranks)
+    vr5 = 100.0 * len(np.where(ranks < 5)[0]) / len(ranks)
+    vr10 = 100.0 * len(np.where(ranks < 10)[0]) / len(ranks)
+
+    tr_mean = (tr1 + tr5 + tr10) / 3
+    vr_mean = (vr1 + vr5 + vr10) / 3
+    return {
+        "txt_r1": tr1, "txt_r5": tr5, "txt_r10": tr10, "txt_r_mean": tr_mean,
+        "vid_r1": vr1, "vid_r5": vr5, "vid_r10": vr10, "vid_r_mean": vr_mean,
+        "vid_mdR": mdR, "r_mean": (tr_mean + vr_mean) / 2,
+    }
