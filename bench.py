@@ -25,10 +25,19 @@ import numpy as np
 
 BASELINE_FRAMES_PER_SEC_A100_ESTIMATE = 20.0
 
+
+from contextlib import nullcontext as _nullcontext
+
 VIDEOS_PER_BATCH = 8
 NUM_FRM = 4
 IMAGE_SIZE = 384
 ITERS = 4
+
+
+def log(msg):
+    import sys
+
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def main():
@@ -50,8 +59,20 @@ def main():
     vit_cfg = ViTConfig.from_name("base", IMAGE_SIZE)
     med_cfg = MedConfig(vocab_size=tok.vocab_size)
 
-    cap = init_blip_decoder(jax.random.PRNGKey(0), vit_cfg, med_cfg)
-    fil = init_blip_itm(jax.random.PRNGKey(1), vit_cfg, med_cfg)
+    log(f"device: {jax.devices()[0]}")
+    t = time.time()
+    # init on the CPU backend (one fused transfer later beats hundreds of
+    # eager init dispatches over a remote-TPU tunnel)
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        cpu = None
+    with jax.default_device(cpu) if cpu is not None else _nullcontext():
+        cap = init_blip_decoder(jax.random.PRNGKey(0), vit_cfg, med_cfg)
+        fil = init_blip_itm(jax.random.PRNGKey(1), vit_cfg, med_cfg)
+    cap = jax.tree.map(np.asarray, cap)
+    fil = jax.tree.map(np.asarray, fil)
+    log(f"param init: {time.time()-t:.1f}s")
     engine = CapFiltEngine(cap, fil, tok, vit_cfg, med_cfg,
                            num_beams=3, max_length=20, min_length=5,
                            dtype=jnp.bfloat16)
@@ -68,11 +89,14 @@ def main():
                   do_sentence_tokenization=False)
 
     # warmup (compile)
+    t = time.time()
     engine.run_chunk(chunk, config, rng=jax.random.PRNGKey(0))
+    log(f"warmup (compile): {time.time()-t:.1f}s")
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
+    for it in range(ITERS):
         engine.run_chunk(chunk, config, rng=jax.random.PRNGKey(0))
+        log(f"iter {it} done at {time.perf_counter()-t0:.2f}s")
     dt = time.perf_counter() - t0
 
     n_frames = ITERS * VIDEOS_PER_BATCH * NUM_FRM
