@@ -106,7 +106,7 @@ def test_filter_thresholds(engine, synthetic_video):
     from vidil_tpu.data.sampling import load_video_frames
 
     frames = preprocess_frames_pil(load_video_frames(synthetic_video, "uniform", 4), 32)
-    embeds = engine.encode_filter_frames(frames)[None]  # (1, F, P, D)
+    embeds = engine.encode_filter_frames(frames, 4)  # (1, F, P, D) device array
     texts = [["a dog runs", "a cat plays", "water"]]
     keep_all = engine.filter_captions_batch(embeds, texts, threshold=-1.0)
     assert keep_all[0] == texts[0]

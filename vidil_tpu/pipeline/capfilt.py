@@ -161,19 +161,31 @@ class CapFiltEngine:
                 sample=sample, rng_key=rng, dtype=dtype,
             )
 
-        @jax.jit
-        def _encode_filter_frames(frames_u8):
+        @partial(jax.jit, static_argnames=("num_frm",))
+        def _encode_filter_frames(frames_u8, num_frm):
+            """(V*F, S, S, C) uint8 -> (V, F, P, D); result stays on device."""
             x = (frames_u8.astype(jnp.float32) / 255.0 - mean) / std
-            return B.encode_images(self.filterer_params, x, vit_cfg, dtype=dtype)
+            embeds = B.encode_images(self.filterer_params, x, vit_cfg, dtype=dtype)
+            V = frames_u8.shape[0] // num_frm
+            return embeds.reshape((V, num_frm) + embeds.shape[1:])
 
         @jax.jit
-        def _itm(image_embeds, text_ids, text_mask):
-            logits = B.blip_itm_scores(self.filterer_params, image_embeds, text_ids, text_mask, med_cfg, dtype=dtype)
-            return jax.nn.softmax(logits, axis=1)[:, 1]
+        def _itm_pairs(frame_embeds, vid_idx, text_ids, text_mask):
+            """Score every (text, frame) pair on device: frame_embeds
+            (V, F, P, D), vid_idx (n,) -> probs (n, F). The pair expansion
+            happens on-chip — no embedding round-trips through the host."""
+            n = vid_idx.shape[0]
+            F = frame_embeds.shape[1]
+            img = frame_embeds[vid_idx]  # (n, F, P, D)
+            img = img.reshape((n * F,) + img.shape[2:])
+            ids_rep = jnp.repeat(text_ids, F, axis=0)
+            mask_rep = jnp.repeat(text_mask, F, axis=0)
+            logits = B.blip_itm_scores(self.filterer_params, img, ids_rep, mask_rep, med_cfg, dtype=dtype)
+            return jax.nn.softmax(logits, axis=1)[:, 1].reshape(n, F)
 
         self._caption = _caption
         self._encode_filter_frames = _encode_filter_frames
-        self._itm = _itm
+        self._itm_pairs = _itm_pairs
 
     # -- captioning ---------------------------------------------------------
 
@@ -186,13 +198,14 @@ class CapFiltEngine:
     # -- filtering ----------------------------------------------------------
 
     def filter_captions_batch(
-        self, frame_embeds: np.ndarray, texts_per_video: list[list[str]],
-        threshold: float, mode: str = "max_filter", pair_bucket: int = 128,
+        self, frame_embeds, texts_per_video: list[list[str]],
+        threshold: float, mode: str = "max_filter", pair_bucket: int = 32,
     ) -> list[list[str]]:
         """Score all (text, frame) pairs of a chunk in one batched ITM call.
 
-        frame_embeds: (V, F, P, D) filterer ViT outputs per video.
-        Returns the per-video filtered caption lists (order preserved).
+        frame_embeds: (V, F, P, D) filterer ViT outputs — a DEVICE array;
+        the pair expansion runs on-chip and only the (n, F) probabilities
+        come back to the host.
         """
         V, F = frame_embeds.shape[:2]
         pairs = []  # (video_idx, text_idx, text)
@@ -205,7 +218,7 @@ class CapFiltEngine:
         enc = self.tok([p[2] for p in pairs], padding="max_length", truncation=True,
                        max_length=self.itm_max_text_len)
         n = len(pairs)
-        n_pad = _round_up(n, max(1, pair_bucket // F))
+        n_pad = _round_up(n, pair_bucket)
         ids = np.zeros((n_pad, enc.input_ids.shape[1]), np.int32)
         mask = np.zeros_like(ids)
         vid_idx = np.zeros((n_pad,), np.int32)
@@ -214,12 +227,9 @@ class CapFiltEngine:
         mask[:n, 0] = 1  # [CLS] always attended
         vid_idx[:n] = [p[0] for p in pairs]
 
-        # expand to (n_pad * F) pairs: each text scored against each frame
-        ids_rep = np.repeat(ids, F, axis=0)
-        mask_rep = np.repeat(mask, F, axis=0)
-        img = frame_embeds[vid_idx].reshape((n_pad * F,) + frame_embeds.shape[2:])
-        probs = np.asarray(self._itm(jnp.asarray(img), jnp.asarray(ids_rep), jnp.asarray(mask_rep)))
-        probs = probs[: n * F].reshape(n, F)
+        probs = np.asarray(self._itm_pairs(
+            frame_embeds, jnp.asarray(vid_idx), jnp.asarray(ids), jnp.asarray(mask)
+        ))[:n]
 
         agg = probs.max(axis=1) if mode == "max_filter" else probs.sum(axis=1) / F
         out: list[list[str]] = [[] for _ in range(V)]
@@ -228,8 +238,9 @@ class CapFiltEngine:
                 out[v].append(text)
         return out
 
-    def encode_filter_frames(self, frames_u8: np.ndarray) -> np.ndarray:
-        return np.asarray(self._encode_filter_frames(jnp.asarray(frames_u8)))
+    def encode_filter_frames(self, frames_u8: np.ndarray, num_frm: int):
+        """(V*F, S, S, C) uint8 -> device array (V, F, P, D)."""
+        return self._encode_filter_frames(jnp.asarray(frames_u8), num_frm)
 
     # -- full CapFilt over a chunk ------------------------------------------
 
@@ -287,9 +298,8 @@ class CapFiltEngine:
                 generated_per_video if config.get("filter_generated_only", False)
                 else candidates_per_video
             )
-            frame_embeds = np.stack(
-                [self.encode_filter_frames(c["frames"]) for c in chunk]
-            ) if V else np.zeros((0,))
+            all_frames = np.concatenate([c["frames"] for c in chunk], axis=0)
+            frame_embeds = self.encode_filter_frames(all_frames, F)
             filtered = self.filter_captions_batch(
                 frame_embeds, to_filter, config["threshold"], config.get("filter_mode", "max_filter")
             )
