@@ -25,9 +25,6 @@ import numpy as np
 
 BASELINE_FRAMES_PER_SEC_A100_ESTIMATE = 20.0
 
-
-from contextlib import nullcontext as _nullcontext
-
 VIDEOS_PER_BATCH = 8
 NUM_FRM = 4
 IMAGE_SIZE = 384
@@ -45,7 +42,6 @@ def main():
     import jax.numpy as jnp
 
     from vidil_tpu.config import MedConfig, ViTConfig
-    from vidil_tpu.models.blip import init_blip_decoder, init_blip_itm
     from vidil_tpu.pipeline.capfilt import CapFiltEngine
     from vidil_tpu.tokenizer import BlipTokenizer, write_test_vocab
 
@@ -59,20 +55,23 @@ def main():
     vit_cfg = ViTConfig.from_name("base", IMAGE_SIZE)
     med_cfg = MedConfig(vocab_size=tok.vocab_size)
 
+    from vidil_tpu.models import convert
+    from vidil_tpu.models.testing import make_blip_decoder_ckpt, make_blip_itm_ckpt
+
     log(f"device: {jax.devices()[0]}")
     t = time.time()
-    # init on the CPU backend (one fused transfer later beats hundreds of
-    # eager init dispatches over a remote-TPU tunnel)
-    try:
-        cpu = jax.local_devices(backend="cpu")[0]
-    except Exception:
-        cpu = None
-    with jax.default_device(cpu) if cpu is not None else _nullcontext():
-        cap = init_blip_decoder(jax.random.PRNGKey(0), vit_cfg, med_cfg)
-        fil = init_blip_itm(jax.random.PRNGKey(1), vit_cfg, med_cfg)
-    cap = jax.tree.map(np.asarray, cap)
-    fil = jax.tree.map(np.asarray, fil)
-    log(f"param init: {time.time()-t:.1f}s")
+    # random weights generated host-side (fast float32 numpy), converted on
+    # the CPU backend, then moved to the TPU in one device_put — eager init
+    # dispatch over a remote-TPU link is pathologically slow
+    cpu = jax.local_devices(backend="cpu")[0]
+    tpu = jax.devices()[0]
+    with jax.default_device(cpu):
+        cap = convert.convert_blip_decoder(make_blip_decoder_ckpt(vit_cfg, med_cfg, seed=0), vit_cfg, med_cfg)
+        fil = convert.convert_blip_itm(make_blip_itm_ckpt(vit_cfg, med_cfg, seed=1), vit_cfg, med_cfg)
+    cap = jax.device_put(cap, tpu)
+    fil = jax.device_put(fil, tpu)
+    jax.block_until_ready((cap, fil))
+    log(f"param init+transfer: {time.time()-t:.1f}s")
     engine = CapFiltEngine(cap, fil, tok, vit_cfg, med_cfg,
                            num_beams=3, max_length=20, min_length=5,
                            dtype=jnp.bfloat16)

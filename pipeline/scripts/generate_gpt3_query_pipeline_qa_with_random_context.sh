@@ -1,0 +1,27 @@
+#!/usr/bin/env bash
+# Stage 3 (QA task, random few-shot prefix): prompts jsonl.
+set -e
+DATASET=$1
+SPLIT=$2
+OUTPUT_ROOT_DIR=$3
+SHOT=$4
+RANDOM_SEED=$5
+SHARED_DATASETS="shared_datasets"
+
+OUTPUT_DIR="$OUTPUT_ROOT_DIR/${DATASET}_${SPLIT}"
+TRAIN_OUTPUT_DIR="$OUTPUT_ROOT_DIR/${DATASET}_train"
+VISUAL_TOKENIZATION_ENCODER="clip"
+INSTRUCTION_LINE="Answer the question based on the objects, attributes and frame captions."
+
+python generate_prompts_random_prefix.py \
+    --prompt_task qa \
+    --visual_tokens_dir "$OUTPUT_DIR/visual_tokenization_$VISUAL_TOKENIZATION_ENCODER" \
+    --frame_captions_dir "$OUTPUT_DIR/frame_caption" \
+    --question_answer_path "$SHARED_DATASETS/${DATASET}/ann/video_2_question_answer_${SPLIT}.json" \
+    --output_dir "$OUTPUT_DIR/input_prompts" \
+    --output_name "qa_${DATASET}_${SPLIT}_shot${SHOT}_seed${RANDOM_SEED}_random.jsonl" \
+    --trainset_json_ann "$SHARED_DATASETS/${DATASET}/ann/video_2_text_original_train.json" \
+    --train_dataset_visual_tokens_dir "$TRAIN_OUTPUT_DIR/visual_tokenization_$VISUAL_TOKENIZATION_ENCODER" \
+    --train_dataset_frame_captions_dir "$TRAIN_OUTPUT_DIR/frame_caption" \
+    --instruction_line "$INSTRUCTION_LINE" \
+    --shot "$SHOT" --seed "$RANDOM_SEED"

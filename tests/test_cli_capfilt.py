@@ -11,7 +11,7 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tests.helpers import make_blip_decoder_ckpt, make_blip_itm_ckpt, save_torch_ckpt
+from vidil_tpu.models.testing import make_blip_decoder_ckpt, make_blip_itm_ckpt, save_torch_ckpt
 from vidil_tpu.config import MedConfig, ViTConfig
 from vidil_tpu.tokenizer import write_test_vocab
 

@@ -10,7 +10,7 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tests.helpers import make_blip_decoder_ckpt, save_torch_ckpt
+from vidil_tpu.models.testing import make_blip_decoder_ckpt, save_torch_ckpt
 from vidil_tpu.config import MedConfig, ViTConfig
 from vidil_tpu.tokenizer import BlipTokenizer, write_test_vocab
 

@@ -31,15 +31,17 @@ class RetrievalEvaluator:
         self.k_test = k_test
         self.rows_per_batch = rows_per_batch
 
+        # params are explicit jit arguments (closure-captured trees get
+        # serialized into remotely-compiled modules)
         @jax.jit
-        def _text_side(ids, mask):
+        def _text_side(params, ids, mask):
             hidden = M.med_forward(params["text_encoder"], ids, mask, cfg=med_cfg,
                                    mode="text", dtype=dtype)
             feat = linear(params["text_proj"], hidden[:, 0, :], dtype=dtype)
             return (feat / jnp.linalg.norm(feat.astype(jnp.float32), axis=-1, keepdims=True).astype(feat.dtype)).astype(jnp.float32)
 
         @jax.jit
-        def _video_side(video):
+        def _video_side(params, video):
             Bv, N = video.shape[:2]
             flat = video.reshape((Bv * N,) + video.shape[2:])
             feats = B.encode_images(params, flat, vit_cfg, dtype=dtype)
@@ -50,13 +52,13 @@ class RetrievalEvaluator:
             return video_feats, emb.astype(jnp.float32)
 
         @jax.jit
-        def _itm(video_feats_pairs, ids, mask):
+        def _itm(params, video_feats_pairs, ids, mask):
             logits = B.blip_itm_scores(params, video_feats_pairs, ids, mask, med_cfg, dtype=dtype)
             return logits[:, 1]
 
-        self._text_side = _text_side
-        self._video_side = _video_side
-        self._itm = _itm
+        self._text_side = lambda ids, mask: _text_side(self.params, ids, mask)
+        self._video_side = lambda video: _video_side(self.params, video)
+        self._itm = lambda *a: _itm(self.params, *a)
 
     def compute_text_features(self, texts: list[str], batch_size: int = 256):
         """reference :93-112 (text_bs=256, [ENC] substituted after encoding)."""

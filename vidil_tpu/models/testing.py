@@ -1,4 +1,4 @@
-"""Shared test helpers: build torch-style state dicts with reference key
+"""Random torch-style state dicts with reference key names: test/bench fixtures with reference key
 names (random weights) so converter + CLI paths can be exercised offline."""
 
 from __future__ import annotations
@@ -8,9 +8,9 @@ import numpy as np
 from vidil_tpu.config import MedConfig, ViTConfig
 
 
-def make_vit_sd(cfg: ViTConfig, rng: np.random.RandomState, prefix: str = "visual_encoder.") -> dict:
+def make_vit_sd(cfg: ViTConfig, rng, prefix: str = "visual_encoder.") -> dict:
     d = cfg.hidden_size
-    t = lambda *s: rng.randn(*s).astype(np.float32) * 0.05
+    t = lambda *s: rng.standard_normal(s, dtype=np.float32) * np.float32(0.05)
     sd = {
         prefix + "patch_embed.proj.weight": t(d, cfg.in_channels, cfg.patch_size, cfg.patch_size),
         prefix + "patch_embed.proj.bias": t(d),
@@ -35,13 +35,13 @@ def make_vit_sd(cfg: ViTConfig, rng: np.random.RandomState, prefix: str = "visua
 
 def make_med_sd(
     cfg: MedConfig,
-    rng: np.random.RandomState,
+    rng,
     prefix: str = "",
     lm_head_prefix: str | None = None,
     cross: bool = True,
 ) -> dict:
     d = cfg.hidden_size
-    t = lambda *s: rng.randn(*s).astype(np.float32) * 0.05
+    t = lambda *s: rng.standard_normal(s, dtype=np.float32) * np.float32(0.05)
     word = t(cfg.vocab_size, d)
     sd = {
         prefix + "embeddings.word_embeddings.weight": word,
@@ -89,18 +89,18 @@ def make_med_sd(
 
 
 def make_blip_decoder_ckpt(vit_cfg, med_cfg, seed=0) -> dict:
-    rng = np.random.RandomState(seed)
+    rng = np.random.default_rng(seed)
     sd = make_vit_sd(vit_cfg, rng)
     sd.update(make_med_sd(med_cfg, rng, prefix="text_decoder.bert.", lm_head_prefix="text_decoder."))
     return sd
 
 
 def make_blip_itm_ckpt(vit_cfg, med_cfg, embed_dim=32, seed=1) -> dict:
-    rng = np.random.RandomState(seed)
+    rng = np.random.default_rng(seed)
     sd = make_vit_sd(vit_cfg, rng)
     sd.update(make_med_sd(med_cfg, rng, prefix="text_encoder."))
     d = med_cfg.hidden_size
-    t = lambda *s: rng.randn(*s).astype(np.float32) * 0.05
+    t = lambda *s: rng.standard_normal(s, dtype=np.float32) * np.float32(0.05)
     sd.update({
         "vision_proj.weight": t(embed_dim, vit_cfg.hidden_size), "vision_proj.bias": t(embed_dim),
         "text_proj.weight": t(embed_dim, d), "text_proj.bias": t(embed_dim),

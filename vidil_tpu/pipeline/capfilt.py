@@ -150,27 +150,39 @@ class CapFiltEngine:
         mean = np.asarray(CLIP_MEAN, np.float32)
         std = np.asarray(CLIP_STD, np.float32)
 
+        # NOTE (TPU-first, and load-bearing on remote-compiled backends):
+        #  * params are explicit jit ARGUMENTS, never closure captures — a
+        #    captured param tree is serialized into the compiled module;
+        #  * encode and generate are separate jits — the intermediate
+        #    (B, P, D) embeddings stay on device between calls, and the two
+        #    programs compile far faster than a fused ViT+beam-search graph.
         @partial(jax.jit, static_argnames=("sample",))
-        def _caption(frames_u8, rng, sample=False):
-            x = (frames_u8.astype(jnp.float32) / 255.0 - mean) / std
-            embeds = B.encode_images(self.captioner_params, x, vit_cfg, dtype=dtype)
-            prompt_b = jnp.broadcast_to(jnp.asarray(self.prompt_ids), (frames_u8.shape[0], len(self.prompt_ids)))
+        def _generate(params, embeds, rng, sample=False):
+            prompt_b = jnp.broadcast_to(jnp.asarray(self.prompt_ids), (embeds.shape[0], len(self.prompt_ids)))
             gen = self.gen_sample if sample else self.gen_beam
             return B.blip_generate_ids(
-                self.captioner_params, embeds, prompt_b, med_cfg, gen,
+                params, embeds, prompt_b, med_cfg, gen,
                 sample=sample, rng_key=rng, dtype=dtype,
             )
 
-        @partial(jax.jit, static_argnames=("num_frm",))
-        def _encode_filter_frames(frames_u8, num_frm):
-            """(V*F, S, S, C) uint8 -> (V, F, P, D); result stays on device."""
+        @jax.jit
+        def _encode(params, frames_u8):
             x = (frames_u8.astype(jnp.float32) / 255.0 - mean) / std
-            embeds = B.encode_images(self.filterer_params, x, vit_cfg, dtype=dtype)
+            return B.encode_images(params, x, vit_cfg, dtype=dtype)
+
+        def _caption(frames_u8, rng, sample=False):
+            embeds = _encode(self.captioner_params, frames_u8)
+            return _generate(self.captioner_params, embeds, rng, sample=sample)
+
+        @partial(jax.jit, static_argnames=("num_frm",))
+        def _encode_filter(params, frames_u8, num_frm):
+            """(V*F, S, S, C) uint8 -> (V, F, P, D); result stays on device."""
+            embeds = _encode(params, frames_u8)
             V = frames_u8.shape[0] // num_frm
             return embeds.reshape((V, num_frm) + embeds.shape[1:])
 
         @jax.jit
-        def _itm_pairs(frame_embeds, vid_idx, text_ids, text_mask):
+        def _itm_pairs_fn(params, frame_embeds, vid_idx, text_ids, text_mask):
             """Score every (text, frame) pair on device: frame_embeds
             (V, F, P, D), vid_idx (n,) -> probs (n, F). The pair expansion
             happens on-chip — no embedding round-trips through the host."""
@@ -180,12 +192,13 @@ class CapFiltEngine:
             img = img.reshape((n * F,) + img.shape[2:])
             ids_rep = jnp.repeat(text_ids, F, axis=0)
             mask_rep = jnp.repeat(text_mask, F, axis=0)
-            logits = B.blip_itm_scores(self.filterer_params, img, ids_rep, mask_rep, med_cfg, dtype=dtype)
+            logits = B.blip_itm_scores(params, img, ids_rep, mask_rep, med_cfg, dtype=dtype)
             return jax.nn.softmax(logits, axis=1)[:, 1].reshape(n, F)
 
         self._caption = _caption
-        self._encode_filter_frames = _encode_filter_frames
-        self._itm_pairs = _itm_pairs
+        self._encode_filter_frames = lambda frames, num_frm: _encode_filter(
+            self.filterer_params, frames, num_frm)
+        self._itm_pairs = lambda *a: _itm_pairs_fn(self.filterer_params, *a)
 
     # -- captioning ---------------------------------------------------------
 

@@ -175,21 +175,23 @@ class ClipTokenizationEngine:
         mean = np.asarray(CLIP_MEAN, np.float32)
         std = np.asarray(CLIP_STD, np.float32)
 
+        # params are explicit jit arguments (closure-captured trees get
+        # serialized into remotely-compiled modules)
         @jax.jit
-        def _embed_texts(ids):
-            return clip_text_embeds(clip_params, ids, clip_cfg, dtype=dtype)
+        def _embed_texts(params, ids):
+            return clip_text_embeds(params, ids, clip_cfg, dtype=dtype)
 
         @jax.jit
-        def _embed_frames(frames_u8):
+        def _embed_frames(params, frames_u8):
             x = (frames_u8.astype(jnp.float32) / 255.0 - mean) / std
-            return clip_image_embeds(clip_params, x, clip_cfg, dtype=dtype)
+            return clip_image_embeds(params, x, clip_cfg, dtype=dtype)
 
         @jax.jit
         def _sims(img, txt):
             return jnp.dot(img, txt.T, precision=jax.lax.Precision.HIGHEST)
 
-        self._embed_texts = _embed_texts
-        self._embed_frames = _embed_frames
+        self._embed_texts = lambda ids: _embed_texts(self.params, ids)
+        self._embed_frames = lambda frames: _embed_frames(self.params, frames)
         self._sims = _sims
 
     def embed_texts(self, texts: list[str]) -> np.ndarray:
@@ -230,15 +232,17 @@ class BlipTokenizationEngine:
         mean = np.asarray(CLIP_MEAN, np.float32)
         std = np.asarray(CLIP_STD, np.float32)
 
+        # params are explicit jit arguments (closure-captured trees get
+        # serialized into remotely-compiled modules)
         @jax.jit
-        def _embed_texts(ids, mask):
+        def _embed_texts(params, ids, mask):
             hidden = M.med_forward(params["text_encoder"], ids, mask, cfg=med_cfg,
                                    mode="text", dtype=dtype)
             feat = linear(params["text_proj"], hidden[:, 0, :], dtype=dtype)
             return feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
 
         @jax.jit
-        def _embed_frames(frames_u8):
+        def _embed_frames(params, frames_u8):
             x = (frames_u8.astype(jnp.float32) / 255.0 - mean) / std
             feats = BLIP.encode_images(params, x, vit_cfg, dtype=dtype)
             emb = linear(params["vision_proj"], feats[:, 0, :], dtype=dtype)
@@ -246,13 +250,13 @@ class BlipTokenizationEngine:
             return feats, emb
 
         @jax.jit
-        def _itm(image_feat_rep, ids, mask):
+        def _itm(params, image_feat_rep, ids, mask):
             logits = BLIP.blip_itm_scores(params, image_feat_rep, ids, mask, med_cfg, dtype=dtype)
             return logits[:, 1]
 
-        self._embed_texts = _embed_texts
-        self._embed_frames_j = _embed_frames
-        self._itm = _itm
+        self._embed_texts = lambda ids, mask: _embed_texts(self.params, ids, mask)
+        self._embed_frames_j = lambda frames: _embed_frames(self.params, frames)
+        self._itm = lambda *a: _itm(self.params, *a)
 
     def embed_texts(self, texts: list[str]):
         """Returns (text_embeds, text_ids, text_atts); ids get [ENC] at pos 0
