@@ -1,0 +1,50 @@
+"""Flash-attention kernel vs XLA reference (Pallas interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vidil_tpu.models.layers import dot_product_attention
+from vidil_tpu.ops.flash_attention import attention_auto, flash_attention
+
+
+@pytest.mark.parametrize("B,H,Lq,Lk,D", [
+    (2, 4, 577, 577, 64),    # ViT self-attn shape (BLIP-base 384px)
+    (1, 12, 16, 1154, 64),   # MED cross-attn over 2-frame video memory
+    (2, 2, 100, 130, 32),    # ragged, non-multiple-of-128 lengths
+    (1, 1, 128, 128, 64),    # exact tile
+])
+def test_flash_matches_xla(B, H, Lq, Lk, D):
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, H, Lq, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, Lk, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, H, Lk, D).astype(np.float32))
+    ref = np.asarray(dot_product_attention(q, k, v))
+    got = np.asarray(flash_attention(q, k, v, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_flash_bf16():
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(1, 4, 130, 64).astype(np.float32)).astype(jnp.bfloat16)
+    k = jnp.asarray(rng.randn(1, 4, 260, 64).astype(np.float32)).astype(jnp.bfloat16)
+    v = jnp.asarray(rng.randn(1, 4, 260, 64).astype(np.float32)).astype(jnp.bfloat16)
+    ref = np.asarray(dot_product_attention(q, k, v)).astype(np.float32)
+    got = np.asarray(flash_attention(q, k, v, interpret=True)).astype(np.float32)
+    assert np.max(np.abs(got - ref)) < 0.05
+
+
+def test_attention_auto_dispatch():
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(1, 2, 64, 32).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 2, 64, 32).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 2, 64, 32).astype(np.float32))
+    # with a bias it must fall back to the XLA path (flash has no mask support)
+    bias = jnp.zeros((1, 1, 64, 64))
+    a = np.asarray(attention_auto(q, k, v, bias=bias))
+    b = np.asarray(dot_product_attention(q, k, v, bias=bias))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    c = np.asarray(attention_auto(q, k, v, interpret=True))
+    np.testing.assert_allclose(c, b, atol=2e-5)

@@ -2,6 +2,11 @@
 (drop-in for the reference utils_gpt3/gpt3_response_to_jsonl.py)."""
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import json
 import os
 from glob import glob

@@ -3,6 +3,11 @@
 
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import os
 from glob import glob
 
 from vidil_tpu.pipeline.gpt3 import clean_text, load_jsonl, process_gpt3_response  # noqa: F401
