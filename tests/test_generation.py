@@ -156,6 +156,28 @@ def test_beam_search_with_cross_attention_smoke():
     assert not np.allclose(score_outs[0], score_outs[1])
 
 
+def test_beam_grouped_cross_attention_matches_replicated():
+    """blip_generate_ids shares cross K/V across beams (beam-grouped path);
+    must be token-identical to replicating the memory per beam."""
+    from vidil_tpu.models.blip import blip_generate_ids
+
+    params = M.init_med(jax.random.PRNGKey(3), CFG_CROSS, with_lm_head=True)
+    B, Lp, nb, max_len = 2, 3, 3, 14
+    rng = np.random.RandomState(5)
+    prompt = jnp.asarray(rng.randint(6, 61, size=(B, Lp)), jnp.int32)
+    enc = jax.random.normal(jax.random.PRNGKey(9), (B, 5, CFG_CROSS.encoder_width))
+    gen = GenerationConfig(max_length=max_len, min_length=5, num_beams=nb,
+                           eos_token_id=EOS, pad_token_id=PAD)
+
+    grouped = blip_generate_ids({"text_decoder": params}, enc, prompt, CFG_CROSS, gen)
+
+    enc_rep = jnp.repeat(enc, nb, axis=0)
+    cache, prefill_fn, step_fn, reorder_fn = make_closures(params, CFG_CROSS, B * nb, max_len, enc=enc_rep)
+    replicated, _ = beam_search(prompt, cache, prefill_fn, step_fn, reorder_fn, gen)
+
+    np.testing.assert_array_equal(np.asarray(grouped), np.asarray(replicated))
+
+
 def test_nucleus_sample_shape_and_eos():
     params = M.init_med(jax.random.PRNGKey(1), CFG_CROSS, with_lm_head=True)
     rng = np.random.RandomState(4)

@@ -98,15 +98,18 @@ def blip_caption_loss(
 # generation
 # ---------------------------------------------------------------------------
 
-def make_decoder_closures(params, cross_k, cross_v, cross_bias, med_cfg: MedConfig, dtype=None):
+def make_decoder_closures(params, cross_k, cross_v, cross_bias, med_cfg: MedConfig, dtype=None,
+                          beam_size: int = 1):
     dec = params["text_decoder"]
 
     def prefill_fn(ids, cache):
-        h, cache = M.med_decode_prefill(dec, ids, cache, cross_k, cross_v, cross_bias, med_cfg, dtype=dtype)
+        h, cache = M.med_decode_prefill(dec, ids, cache, cross_k, cross_v, cross_bias, med_cfg,
+                                        dtype=dtype, beam_size=beam_size)
         return M.med_lm_logits(dec, h[:, -1], med_cfg, dtype=dtype).astype(jnp.float32), cache
 
     def step_fn(tokens, idx, cache):
-        return M.med_decode_step(dec, tokens, idx, cache, cross_k, cross_v, cross_bias, med_cfg, dtype=dtype)
+        return M.med_decode_step(dec, tokens, idx, cache, cross_k, cross_v, cross_bias, med_cfg,
+                                 dtype=dtype, beam_size=beam_size)
 
     def reorder_fn(cache, idx):
         return jax.tree.map(lambda x: x[:, idx], cache)
@@ -125,18 +128,17 @@ def blip_generate_ids(
     models/blip.py:135-138 cuts the last token).
     """
     B = image_embeds.shape[0]
-    if not sample:
-        kv_src = jnp.repeat(image_embeds, gen.num_beams, axis=0)
-        batch = B * gen.num_beams
-    else:
-        kv_src = image_embeds
-        batch = B
-    cross_k, cross_v = M.precompute_cross_kv(params["text_decoder"], kv_src, med_cfg, dtype=dtype)
-    cross_bias = M.invert_attention_mask(jnp.ones(kv_src.shape[:2], jnp.int32))
+    # cross K/V stay at batch B even for beam search — beams of one item
+    # share the memory (beam-grouped cross-attention; no repeat_interleave
+    # of the large video-token tensors as the reference does, blip.py:130)
+    beam_size = 1 if sample else gen.num_beams
+    batch = B * beam_size
+    cross_k, cross_v = M.precompute_cross_kv(params["text_decoder"], image_embeds, med_cfg, dtype=dtype)
+    cross_bias = M.invert_attention_mask(jnp.ones(image_embeds.shape[:2], jnp.int32))
     cache = M.init_self_cache(med_cfg, batch, gen.max_length,
                               dtype=cache_dtype or dtype or jnp.float32)
     prefill_fn, step_fn, reorder_fn = make_decoder_closures(
-        params, cross_k, cross_v, cross_bias, med_cfg, dtype=dtype
+        params, cross_k, cross_v, cross_bias, med_cfg, dtype=dtype, beam_size=beam_size
     )
     if sample:
         assert rng_key is not None

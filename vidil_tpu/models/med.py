@@ -187,9 +187,26 @@ def _attn_block(p, x, kv_states, bias, num_heads: int, eps: float, dtype=None):
     return layer_norm(p["norm"], out + x, eps)
 
 
-def _attn_block_precomputed_kv(p, x, k, v, bias, num_heads: int, eps: float, dtype=None):
-    q = split_heads(linear(p["query"], x, dtype=dtype), num_heads)
-    ctx = merge_heads(dot_product_attention(q, k, v, bias=bias))
+def _attn_block_precomputed_kv(p, x, k, v, bias, num_heads: int, eps: float,
+                               dtype=None, beam_size: int = 1):
+    """Cross-attention with precomputed K/V.
+
+    beam_size > 1: x has batch B*beam_size but k/v have batch B — all beams
+    of one item attend the SAME memory, so queries are folded into the
+    sequence axis instead of replicating the (large) K/V tensors per beam.
+    Cuts cross-attention HBM traffic by beam_size (the dominant decode cost
+    for the N*(P+1)-token video memory).
+    """
+    q = split_heads(linear(p["query"], x, dtype=dtype), num_heads)  # (B*nb, H, L, Dh)
+    if beam_size > 1:
+        Bn, H, L, Dh = q.shape
+        B = Bn // beam_size
+        q_g = q.reshape(B, beam_size, H, L, Dh).transpose(0, 2, 1, 3, 4).reshape(B, H, beam_size * L, Dh)
+        ctx = dot_product_attention(q_g, k, v, bias=bias)
+        ctx = ctx.reshape(B, H, beam_size, L, Dh).transpose(0, 2, 1, 3, 4).reshape(Bn, H, L, Dh)
+        ctx = merge_heads(ctx)
+    else:
+        ctx = merge_heads(dot_product_attention(q, k, v, bias=bias))
     out = linear(p["out"], ctx, dtype=dtype)
     return layer_norm(p["norm"], out + x, eps)
 
@@ -322,6 +339,7 @@ def init_self_cache(cfg: MedConfig, batch: int, max_len: int, dtype=jnp.float32)
 
 def med_decode_prefill(
     params, input_ids, cache, cross_k, cross_v, cross_bias, cfg: MedConfig, dtype=None,
+    beam_size: int = 1,
 ):
     """Run the prompt through the decoder, filling cache[:, :, :, :Lp].
 
@@ -344,7 +362,8 @@ def med_decode_prefill(
         x = layer_norm(layer["self_attn"]["norm"], h + x, cfg.layer_norm_eps)
         if cross_k is not None:
             x = _attn_block_precomputed_kv(
-                layer["cross_attn"], x, ck, cv, cross_bias, cfg.num_heads, cfg.layer_norm_eps, dtype
+                layer["cross_attn"], x, ck, cv, cross_bias, cfg.num_heads,
+                cfg.layer_norm_eps, dtype, beam_size=beam_size,
             )
         x = _ffn_block(layer, x, cfg, dtype=dtype)
         return x, (k, v)
@@ -360,6 +379,7 @@ def med_decode_prefill(
 
 def med_decode_step(
     params, token_ids, step_index, cache, cross_k, cross_v, cross_bias, cfg: MedConfig, dtype=None,
+    beam_size: int = 1,
 ):
     """Decode one token for the whole batch.
 
@@ -396,7 +416,8 @@ def med_decode_step(
         x = layer_norm(layer["self_attn"]["norm"], h + x, cfg.layer_norm_eps)
         if cross_k is not None:
             x = _attn_block_precomputed_kv(
-                layer["cross_attn"], x, ck, cv, cross_bias, cfg.num_heads, cfg.layer_norm_eps, dtype
+                layer["cross_attn"], x, ck, cv, cross_bias, cfg.num_heads,
+                cfg.layer_norm_eps, dtype, beam_size=beam_size,
             )
         x = _ffn_block(layer, x, cfg, dtype=dtype)
         return x, (k_cache, v_cache)

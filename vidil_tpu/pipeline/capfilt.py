@@ -270,10 +270,13 @@ class CapFiltEngine:
         F = chunk[0]["frames"].shape[0]
         results = []
 
+        # frames go to the device ONCE; the caption and filter paths share
+        # the device-resident array
+        all_frames_dev = jnp.asarray(np.concatenate([c["frames"] for c in chunk], axis=0))
+
         # 1. caption all frames of all videos in one program
         if config.get("caption", True):
-            all_frames = np.concatenate([c["frames"] for c in chunk], axis=0)
-            captions = self.caption_frames(all_frames, mode=config.get("generation_mode", "beam"), rng=rng)
+            captions = self.caption_frames(all_frames_dev, mode=config.get("generation_mode", "beam"), rng=rng)
         else:
             captions = None
 
@@ -311,8 +314,7 @@ class CapFiltEngine:
                 generated_per_video if config.get("filter_generated_only", False)
                 else candidates_per_video
             )
-            all_frames = np.concatenate([c["frames"] for c in chunk], axis=0)
-            frame_embeds = self.encode_filter_frames(all_frames, F)
+            frame_embeds = self.encode_filter_frames(all_frames_dev, F)
             filtered = self.filter_captions_batch(
                 frame_embeds, to_filter, config["threshold"], config.get("filter_mode", "max_filter")
             )
