@@ -93,11 +93,24 @@ def main(args, config):
     t0 = time.time()
     n_frames = 0
 
-    chunk, meta = [], []
-    def flush():
-        nonlocal chunk, meta, n_frames
-        if not chunk:
-            return
+    def decode_item(item):
+        """Host-side decode + PIL resize of one video (thread-parallel)."""
+        frames = load_video_frames(
+            item["video_path"], config["frm_sampling_strategy"], num_frm,
+            height=config.get("height"), width=config.get("width"),
+            start_time=config.get("start_time"), end_time=config.get("end_time"),
+            fps=config.get("fps", -1),
+        )
+        if frames is None:
+            return None
+        return {
+            "video_id": item["video_id"],
+            "frames": preprocess_frames_pil(frames, image_size),
+            "text": item["text"],
+        }
+
+    def run_chunk(chunk, meta):
+        nonlocal n_frames
         real = len(chunk)
         # pad the chunk to a fixed size so the compiled program is reused
         while len(chunk) < chunk_size:
@@ -110,27 +123,41 @@ def main(args, config):
             else:
                 print("filter out video:", res.video_id)
         n_frames += real * num_frm
-        chunk, meta = [], []
 
-    for item in shard:
-        frames = load_video_frames(
-            item["video_path"], config["frm_sampling_strategy"], num_frm,
-            height=config.get("height"), width=config.get("width"),
-            start_time=config.get("start_time"), end_time=config.get("end_time"),
-            fps=config.get("fps", -1),
-        )
-        if frames is None:
-            print(f'skip video that cannot be loaded: {item["video_path"]}')
-            continue
-        chunk.append({
-            "video_id": item["video_id"],
-            "frames": preprocess_frames_pil(frames, image_size),
-            "text": item["text"],
-        })
-        meta.append(item)
-        if len(chunk) == chunk_size:
-            flush()
-    flush()
+    # host decode runs in a thread pool AHEAD of the device: while the TPU
+    # works on chunk i, the host decodes chunk i+1 (the reference decodes
+    # and computes strictly serially, run_video_CapFilt.py:155-204).
+    # Bounded prefetch: at most 2 chunks of decoded frames in flight.
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=int(config.get("decode_workers", 4))) as pool:
+        pending: deque = deque()
+        it = iter(shard)
+
+        def top_up():
+            while len(pending) < 2 * chunk_size:
+                item = next(it, None)
+                if item is None:
+                    return
+                pending.append((item, pool.submit(decode_item, item)))
+
+        top_up()
+        chunk, meta = [], []
+        while pending:
+            item, fut = pending.popleft()
+            dec = fut.result()
+            top_up()
+            if dec is None:
+                print(f'skip video that cannot be loaded: {item["video_path"]}')
+                continue
+            chunk.append(dec)
+            meta.append(item)
+            if len(chunk) == chunk_size:
+                run_chunk(chunk, meta)
+                chunk, meta = [], []
+        if chunk:
+            run_chunk(chunk, meta)
 
     dt = time.time() - t0
     if n_frames:

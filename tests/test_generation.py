@@ -169,7 +169,7 @@ def test_beam_grouped_cross_attention_matches_replicated():
     gen = GenerationConfig(max_length=max_len, min_length=5, num_beams=nb,
                            eos_token_id=EOS, pad_token_id=PAD)
 
-    grouped = blip_generate_ids({"text_decoder": params}, enc, prompt, CFG_CROSS, gen)
+    grouped = blip_generate_ids({"text_decoder": params}, enc, prompt, CFG_CROSS, gen, beam_group_kv=True)
 
     enc_rep = jnp.repeat(enc, nb, axis=0)
     cache, prefill_fn, step_fn, reorder_fn = make_closures(params, CFG_CROSS, B * nb, max_len, enc=enc_rep)

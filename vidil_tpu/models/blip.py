@@ -120,6 +120,7 @@ def make_decoder_closures(params, cross_k, cross_v, cross_bias, med_cfg: MedConf
 def blip_generate_ids(
     params, image_embeds, prompt_ids, med_cfg: MedConfig, gen: GenerationConfig,
     sample: bool = False, rng_key=None, dtype=None, cache_dtype=None,
+    beam_group_kv: bool = False,
 ):
     """Generate token ids from encoded images/video.
 
@@ -128,13 +129,17 @@ def blip_generate_ids(
     models/blip.py:135-138 cuts the last token).
     """
     B = image_embeds.shape[0]
-    # cross K/V stay at batch B even for beam search — beams of one item
-    # share the memory (beam-grouped cross-attention; no repeat_interleave
-    # of the large video-token tensors as the reference does, blip.py:130)
-    beam_size = 1 if sample else gen.num_beams
-    batch = B * beam_size
-    cross_k, cross_v = M.precompute_cross_kv(params["text_decoder"], image_embeds, med_cfg, dtype=dtype)
-    cross_bias = M.invert_attention_mask(jnp.ones(image_embeds.shape[:2], jnp.int32))
+    # beam_group_kv=True keeps cross K/V at batch B (beams of one item share
+    # the memory on-chip) — 2x faster decode steady-state (HBM-bound on the
+    # N*(P+1)-token video memory) but compiles slowly on remote-compiled
+    # backends; default is the replicated layout (reference semantics,
+    # repeat_interleave at blip.py:130). Token outputs are identical (tested).
+    expand = 1 if sample else gen.num_beams
+    beam_size = expand if beam_group_kv else 1
+    batch = B * expand
+    kv_src = image_embeds if beam_group_kv or sample else jnp.repeat(image_embeds, expand, axis=0)
+    cross_k, cross_v = M.precompute_cross_kv(params["text_decoder"], kv_src, med_cfg, dtype=dtype)
+    cross_bias = M.invert_attention_mask(jnp.ones(kv_src.shape[:2], jnp.int32))
     cache = M.init_self_cache(med_cfg, batch, gen.max_length,
                               dtype=cache_dtype or dtype or jnp.float32)
     prefill_fn, step_fn, reorder_fn = make_decoder_closures(

@@ -70,21 +70,23 @@ def vqa_train_loss(params, video_embeds, question_ids, question_mask,
 
 def vqa_generate_ids(params, video_embeds, question_ids, question_mask,
                      med_cfg: MedConfig, tokenizer, max_length: int = 10,
-                     num_beams: int = 3, dtype=None, length_norm: str = "legacy"):
+                     num_beams: int = 3, dtype=None, length_norm: str = "legacy",
+                     beam_group_kv: bool = False):
     """Beam-search answers conditioned on question states (reference :254-275)."""
     B = video_embeds.shape[0]
     question_states = encode_question(params, video_embeds, question_ids,
                                       question_mask, med_cfg, dtype=dtype)
-    # note the reference attends ALL question positions (atts = ones, :258);
-    # beams share the question memory (beam-grouped cross-attention)
-    cross_bias = M.invert_attention_mask(jnp.ones(question_states.shape[:2], jnp.int32))
-    cross_k, cross_v = M.precompute_cross_kv(params["text_decoder"], question_states, med_cfg, dtype=dtype)
+    # note the reference attends ALL question positions (atts = ones, :258)
+    kv_src = question_states if beam_group_kv else jnp.repeat(question_states, num_beams, axis=0)
+    beam_size = num_beams if beam_group_kv else 1
+    cross_bias = M.invert_attention_mask(jnp.ones(kv_src.shape[:2], jnp.int32))
+    cross_k, cross_v = M.precompute_cross_kv(params["text_decoder"], kv_src, med_cfg, dtype=dtype)
     gen = GenerationConfig(max_length=max_length, min_length=1, num_beams=num_beams,
                            eos_token_id=tokenizer.sep_token_id,
                            pad_token_id=tokenizer.pad_token_id, length_norm=length_norm)
     cache = M.init_self_cache(med_cfg, B * num_beams, gen.max_length)
     prefill_fn, step_fn, reorder_fn = make_decoder_closures(
-        params, cross_k, cross_v, cross_bias, med_cfg, dtype=dtype, beam_size=num_beams)
+        params, cross_k, cross_v, cross_bias, med_cfg, dtype=dtype, beam_size=beam_size)
     bos = jnp.full((B, 1), tokenizer.bos_token_id, jnp.int32)
     seqs, _ = beam_search(bos, cache, prefill_fn, step_fn, reorder_fn, gen)
     return seqs

@@ -201,10 +201,16 @@ def _attn_block_precomputed_kv(p, x, k, v, bias, num_heads: int, eps: float,
     if beam_size > 1:
         Bn, H, L, Dh = q.shape
         B = Bn // beam_size
-        q_g = q.reshape(B, beam_size, H, L, Dh).transpose(0, 2, 1, 3, 4).reshape(B, H, beam_size * L, Dh)
-        ctx = dot_product_attention(q_g, k, v, bias=bias)
-        ctx = ctx.reshape(B, H, beam_size, L, Dh).transpose(0, 2, 1, 3, 4).reshape(Bn, H, L, Dh)
-        ctx = merge_heads(ctx)
+        # contiguous reshape only (no transposes): beams become a broadcast
+        # dim of the batched attention einsums
+        q5 = q.reshape(B, beam_size, H, L, Dh)
+        scale = 1.0 / math.sqrt(Dh)
+        logits = jnp.einsum("bnhqd,bhkd->bnhqk", q5, k, preferred_element_type=jnp.float32) * scale
+        if bias is not None:
+            logits = logits + bias[:, None].astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("bnhqk,bhkd->bnhqd", probs.astype(v.dtype), v)
+        ctx = merge_heads(ctx.reshape(Bn, H, L, Dh))
     else:
         ctx = merge_heads(dot_product_attention(q, k, v, bias=bias))
     out = linear(p["out"], ctx, dtype=dtype)
