@@ -1,16 +1,23 @@
 """Random-access video decoding on the host.
 
-Decord-equivalent reader (reference uses decord.VideoReader with
+Decord-equivalent readers (reference uses decord.VideoReader with
 ``get_batch(indices)`` and optional decode-time resize;
-run_video_CapFilt.py:38-45, data/video_pretrain_dataset.py) built on
-OpenCV's FFmpeg backend — the C++ decode path available in this image.
+run_video_CapFilt.py:38-45, data/video_pretrain_dataset.py):
 
-The reader decodes sequentially between requested indices (cheaper than
-repeated seeks for the near-sorted index lists the samplers produce) and
-returns HWC RGB uint8 numpy arrays.
+* ``NativeVideoReader`` — the framework's own C++ FFmpeg decoder
+  (native/video_decode.cpp, demux + decode + swscale bicubic resize)
+  loaded via ctypes; used automatically when the built .so exists.
+* ``Cv2VideoReader`` — OpenCV/FFmpeg fallback.
+
+Both decode sequentially between requested indices (cheaper than repeated
+seeks for the near-sorted index lists the samplers produce) and return
+HWC RGB uint8 numpy arrays.
 """
 
 from __future__ import annotations
+
+import ctypes
+import os
 
 import numpy as np
 
@@ -21,9 +28,98 @@ try:
 except Exception:  # pragma: no cover
     _HAS_CV2 = False
 
+_NATIVE_SO = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native", "build", "libvidil_decode.so")
+_native_lib = None
 
-class VideoReader:
-    """Random-access frame reader with decord-like semantics."""
+
+def _load_native():
+    global _native_lib
+    if _native_lib is not None:
+        return _native_lib
+    if not os.path.exists(_NATIVE_SO) or os.environ.get("VIDIL_NO_NATIVE_DECODE"):
+        _native_lib = False
+        return False
+    try:
+        lib = ctypes.CDLL(_NATIVE_SO)
+        lib.vd_open.restype = ctypes.c_void_p
+        lib.vd_open.argtypes = [ctypes.c_char_p]
+        lib.vd_len.restype = ctypes.c_long
+        lib.vd_len.argtypes = [ctypes.c_void_p]
+        lib.vd_fps.restype = ctypes.c_double
+        lib.vd_fps.argtypes = [ctypes.c_void_p]
+        lib.vd_get_batch.restype = ctypes.c_int
+        lib.vd_get_batch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_long), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.vd_close.argtypes = [ctypes.c_void_p]
+        _native_lib = lib
+    except Exception:  # pragma: no cover
+        _native_lib = False
+    return _native_lib
+
+
+class NativeVideoReader:
+    """ctypes wrapper over native/video_decode.cpp."""
+
+    def __init__(self, path: str, width: int | None = None, height: int | None = None):
+        lib = _load_native()
+        if not lib:
+            raise RuntimeError("native decode library not built (tools/build_native.sh)")
+        self._lib = lib
+        self._h = lib.vd_open(path.encode())
+        if not self._h:
+            raise IOError(f"cannot open video: {path}")
+        self._len = int(lib.vd_len(self._h))
+        self._width = width or 0
+        self._height = height or 0
+
+    def __len__(self) -> int:
+        return self._len
+
+    @property
+    def fps(self) -> float:
+        return float(self._lib.vd_fps(self._h))
+
+    def get_batch(self, indices) -> np.ndarray:
+        idx = np.clip(np.asarray(list(indices), np.int64), 0, self._len - 1)
+        n = len(idx)
+        natw = ctypes.c_int()
+        nath = ctypes.c_int()
+        if self._width and self._height:
+            w, h = self._width, self._height
+        else:
+            # probe native resolution with a zero-frame call
+            self._lib.vd_get_batch(self._h, (ctypes.c_long * 0)(), 0, 0, 0,
+                                   (ctypes.c_uint8 * 0)(), ctypes.byref(natw), ctypes.byref(nath))
+            w, h = natw.value, nath.value
+        out = np.empty((n, h, w, 3), np.uint8)
+        c_idx = (ctypes.c_long * n)(*idx.tolist())
+        ret = self._lib.vd_get_batch(
+            self._h, c_idx, n, w if (self._width and self._height) else 0,
+            h if (self._width and self._height) else 0,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.byref(natw), ctypes.byref(nath))
+        if ret != 0:
+            raise IOError(f"native decode failed ({ret})")
+        return out
+
+    def release(self) -> None:
+        if self._h:
+            self._lib.vd_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.release()
+        except Exception:
+            pass
+
+
+class Cv2VideoReader:
+    """OpenCV-backed random-access frame reader with decord-like semantics."""
 
     def __init__(self, path: str, width: int | None = None, height: int | None = None):
         if not _HAS_CV2:
@@ -93,3 +189,13 @@ class VideoReader:
             self._cap.release()
         except Exception:
             pass
+
+
+def VideoReader(path: str, width: int | None = None, height: int | None = None):
+    """Factory: the native FFmpeg reader when built, else the cv2 fallback."""
+    if _load_native():
+        try:
+            return NativeVideoReader(path, width=width, height=height)
+        except Exception:
+            pass
+    return Cv2VideoReader(path, width=width, height=height)
