@@ -162,6 +162,38 @@ def decode_captions(tokenizer, sequences, prompt: str) -> list[str]:
     return out
 
 
+def init_blip_base(key, vit_cfg: ViTConfig, med_cfg: MedConfig):
+    """BLIP_Base feature extractor (reference: models/blip.py:22-73)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "visual_encoder": init_vit(k1, vit_cfg),
+        "text_encoder": M.init_med(k2, med_cfg),
+    }
+
+
+def blip_base_features(params, mode: str, vit_cfg: ViTConfig, med_cfg: MedConfig,
+                       images=None, text_ids=None, text_mask=None,
+                       enc_token_id: int | None = None, dtype=None):
+    """Feature modes (reference: models/blip.py:45-73).
+
+    mode='image': ViT embeddings; 'text': text-encoder hidden states;
+    'multimodal': text over image cross-attention ([ENC] substituted at
+    position 0 when enc_token_id is given, reference :66).
+    """
+    assert mode in ("image", "text", "multimodal")
+    if mode == "image":
+        return encode_images(params, images, vit_cfg, dtype=dtype)
+    if mode == "text":
+        return M.med_forward(params["text_encoder"], text_ids, text_mask,
+                             cfg=med_cfg, mode="text", dtype=dtype)
+    image_embeds = encode_images(params, images, vit_cfg, dtype=dtype)
+    if enc_token_id is not None:
+        text_ids = text_ids.at[:, 0].set(enc_token_id)
+    return M.med_forward(params["text_encoder"], text_ids, text_mask,
+                         encoder_hidden_states=image_embeds,
+                         cfg=med_cfg, mode="multimodal", dtype=dtype)
+
+
 # ---------------------------------------------------------------------------
 # ITM / ITC (the CapFilt Filter; reference models/blip_itm.py:41-67)
 # ---------------------------------------------------------------------------
