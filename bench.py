@@ -55,23 +55,38 @@ def main():
     vit_cfg = ViTConfig.from_name("base", IMAGE_SIZE)
     med_cfg = MedConfig(vocab_size=tok.vocab_size)
 
-    from vidil_tpu.models import convert
-    from vidil_tpu.models.testing import make_blip_decoder_ckpt, make_blip_itm_ckpt
+    from vidil_tpu.models.blip import init_blip_decoder, init_blip_itm
 
     log(f"device: {jax.devices()[0]}")
     t = time.time()
-    # random weights generated host-side (fast float32 numpy), converted on
-    # the CPU backend, then moved to the TPU in one device_put — eager init
-    # dispatch over a remote-TPU link is pathologically slow
-    cpu = jax.local_devices(backend="cpu")[0]
-    tpu = jax.devices()[0]
-    with jax.default_device(cpu):
-        cap = convert.convert_blip_decoder(make_blip_decoder_ckpt(vit_cfg, med_cfg, seed=0), vit_cfg, med_cfg)
-        fil = convert.convert_blip_itm(make_blip_itm_ckpt(vit_cfg, med_cfg, seed=1), vit_cfg, med_cfg)
-    cap = jax.device_put(cap, tpu)
-    fil = jax.device_put(fil, tpu)
+    # weights are synthesized ON DEVICE by one cheap jitted program (no RNG,
+    # no host->TPU transfer): the remote-TPU link's transfer bandwidth and
+    # its RNG-program compile times both vary wildly; a sin-fill program
+    # compiles and runs in seconds and gives well-conditioned weights
+    cap_shapes = jax.eval_shape(lambda: init_blip_decoder(jax.random.PRNGKey(0), vit_cfg, med_cfg))
+    fil_shapes = jax.eval_shape(lambda: init_blip_itm(jax.random.PRNGKey(1), vit_cfg, med_cfg))
+
+    def synth(shapes, salt):
+        leaves = []
+
+        def fill(path, leaf):
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            idx = len(leaves)
+            leaves.append(None)
+            n = int(np.prod(leaf.shape)) if leaf.shape else 1
+            if name == "scale":
+                return jnp.ones(leaf.shape, leaf.dtype)
+            if name == "bias":
+                return jnp.zeros(leaf.shape, leaf.dtype)
+            x = jnp.arange(n, dtype=jnp.float32)
+            x = jnp.sin(x * 12.9898 + salt * 78.233 + idx) * 0.05
+            return x.reshape(leaf.shape).astype(leaf.dtype)
+
+        return jax.tree_util.tree_map_with_path(fill, shapes)
+
+    cap, fil = jax.jit(lambda: (synth(cap_shapes, 1.0), synth(fil_shapes, 2.0)))()
     jax.block_until_ready((cap, fil))
-    log(f"param init+transfer: {time.time()-t:.1f}s")
+    log(f"on-device param synth: {time.time()-t:.1f}s")
     engine = CapFiltEngine(cap, fil, tok, vit_cfg, med_cfg,
                            num_beams=3, max_length=20, min_length=5,
                            dtype=jnp.bfloat16)

@@ -103,9 +103,13 @@ def main(args, config):
         )
         if frames is None:
             return None
+        import jax.numpy as jnp
+
         return {
             "video_id": item["video_id"],
-            "frames": preprocess_frames_pil(frames, image_size),
+            # device_put from the worker thread: the host->TPU transfer
+            # overlaps the previous chunk's device compute
+            "frames": jax.device_put(preprocess_frames_pil(frames, image_size)),
             "text": item["text"],
         }
 

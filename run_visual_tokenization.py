@@ -165,24 +165,46 @@ def main(args, config):
         n_frames += len(video_frames) * num_frm
         video_frames, captions = {}, {}
 
-    for i, ann in enumerate(shard):
-        if i == early_stop:
-            print(f"early stop at {i}")
-            break
-        video_name = os.path.basename(ann["video"])[:-4]
+    def decode_one(ann):
         frames = load_video_frames(
             ann["video"], config["frm_sampling_strategy"], num_frm,
             height=config.get("height"), width=config.get("width"),
             start_time=config.get("start_time"), end_time=config.get("end_time"),
             fps=config.get("fps", -1),
         )
-        if frames is None:
-            print("skip video that cannot be loaded:", video_name)
-            continue
-        video_frames[video_name] = preprocess(frames)
-        captions[video_name] = ann["caption"]
-        if len(video_frames) == chunk_size:
-            flush()
+        return None if frames is None else preprocess(frames)
+
+    # bounded decode prefetch: host decodes ahead while the TPU scores
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    work = shard if early_stop < 0 else shard[:early_stop]
+    if early_stop >= 0:
+        print(f"early stop at {early_stop}")
+    with ThreadPoolExecutor(max_workers=int(config.get("decode_workers", 4))) as pool:
+        pending = deque()
+        it = iter(work)
+
+        def top_up():
+            while len(pending) < 2 * chunk_size:
+                ann = next(it, None)
+                if ann is None:
+                    return
+                pending.append((ann, pool.submit(decode_one, ann)))
+
+        top_up()
+        while pending:
+            ann, fut = pending.popleft()
+            frames = fut.result()
+            top_up()
+            video_name = os.path.basename(ann["video"])[:-4]
+            if frames is None:
+                print("skip video that cannot be loaded:", video_name)
+                continue
+            video_frames[video_name] = frames
+            captions[video_name] = ann["caption"]
+            if len(video_frames) == chunk_size:
+                flush()
     flush()
 
     dt = time.time() - t0

@@ -271,8 +271,14 @@ class CapFiltEngine:
         results = []
 
         # frames go to the device ONCE; the caption and filter paths share
-        # the device-resident array
-        all_frames_dev = jnp.asarray(np.concatenate([c["frames"] for c in chunk], axis=0))
+        # the device-resident array. Per-video frames may already be device
+        # arrays (the CLI device_puts them from its decode threads so the
+        # host->TPU transfer overlaps the previous chunk's compute).
+        frame_list = [c["frames"] for c in chunk]
+        if isinstance(frame_list[0], jnp.ndarray) and not isinstance(frame_list[0], np.ndarray):
+            all_frames_dev = jnp.concatenate(frame_list, axis=0)
+        else:
+            all_frames_dev = jnp.asarray(np.concatenate(frame_list, axis=0))
 
         # 1. caption all frames of all videos in one program
         if config.get("caption", True):
