@@ -46,6 +46,7 @@ class ViTConfig:
     in_channels: int = 3
     remat: bool = False  # jax.checkpoint on blocks (>= remat_from_layer)
     remat_from_layer: int = 0
+    use_flash: bool = False  # Pallas flash-attention kernel for self-attn
 
     @property
     def num_patches(self) -> int:

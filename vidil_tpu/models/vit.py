@@ -85,18 +85,29 @@ def patchify(x, patch_size: int):
     return x.reshape(B, nH * nW, P * P * C)
 
 
-def attention(params, x, num_heads: int, dtype=None):
-    """Fused-QKV self-attention (reference: models/vit.py:70-86)."""
+def attention(params, x, num_heads: int, dtype=None, use_flash: bool = False):
+    """Fused-QKV self-attention (reference: models/vit.py:70-86).
+
+    use_flash routes through the Pallas online-softmax kernel
+    (ops/flash_attention.py) — the Apex-FMHA analogue for the 577-token
+    patch sequence.
+    """
     qkv = linear(params["qkv"], x, dtype=dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q, k, v = (split_heads(t, num_heads) for t in (q, k, v))
-    out = dot_product_attention(q, k, v)
+    if use_flash:
+        from vidil_tpu.ops.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v)
+    else:
+        out = dot_product_attention(q, k, v)
     return linear(params["proj"], merge_heads(out), dtype=dtype)
 
 
-def block_forward(params, x, num_heads: int, eps: float, dtype=None):
+def block_forward(params, x, num_heads: int, eps: float, dtype=None, use_flash: bool = False):
     """Pre-LN residual block (reference: models/vit.py:107-110)."""
-    x = x + attention(params["attn"], layer_norm(params["norm1"], x, eps), num_heads, dtype=dtype)
+    x = x + attention(params["attn"], layer_norm(params["norm1"], x, eps), num_heads,
+                      dtype=dtype, use_flash=use_flash)
     x = x + mlp(params["mlp"], layer_norm(params["norm2"], x, eps), act=gelu, dtype=dtype)
     return x
 
@@ -137,13 +148,17 @@ def vit_forward(params, images, cfg: ViTConfig, dtype=None, return_attn: bool = 
         x = layer_norm(params["norm"], x, cfg.layer_norm_eps)
         return x, attns
 
+    from functools import partial
+
+    block_fn = partial(block_forward, use_flash=cfg.use_flash)
+
     def body(carry, layer_params):
-        fn = block_forward
+        fn = block_fn
         if cfg.remat:
-            fn = jax.checkpoint(block_forward, static_argnums=(2, 3))
+            fn = jax.checkpoint(block_fn, static_argnums=(2, 3))
         return fn(layer_params, carry, cfg.num_heads, cfg.layer_norm_eps, dtype), None
 
-    x, _ = jax.lax.scan(lambda c, p: body(c, p), x, params["blocks"])
+    x, _ = jax.lax.scan(body, x, params["blocks"])
     x = layer_norm(params["norm"], x, cfg.layer_norm_eps)
     return x
 
