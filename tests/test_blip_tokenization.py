@@ -1,0 +1,115 @@
+"""BLIP-mode visual tokenization (encoder_version='blip'): engine + CLI."""
+
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vidil_tpu.config import MedConfig, ViTConfig
+from vidil_tpu.models.testing import make_blip_itm_ckpt, save_torch_ckpt
+from vidil_tpu.tokenizer import BlipTokenizer, write_test_vocab
+
+VIT_KW = dict(patch_size=16, hidden_size=32, num_layers=2, num_heads=4)
+IMAGE_SIZE = 32
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("blip_tok")
+    videos = root / "videos"
+    videos.mkdir()
+    ann = {}
+    for vi in range(2):
+        w = cv2.VideoWriter(str(videos / f"vid{vi}.mp4"), cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+        for i in range(20):
+            frame = np.zeros((48, 64, 3), np.uint8)
+            frame[:, :, vi] = (i * 11 + vi * 70) % 255
+            w.write(frame)
+        w.release()
+        ann[f"vid{vi}"] = [f"caption {vi}"]
+    ann_path = str(root / "ann.json")
+    json.dump(ann, open(ann_path, "w"))
+
+    vocab_path = str(root / "vocab.txt")
+    write_test_vocab(vocab_path, ["a", "photo", "of", "dog", "cat", "bird", "red",
+                                  "blue", "shiny", "beach", "park", "kitchen",
+                                  "running", "sitting", "eating", "caption", "0", "1"])
+    vocab_size = BlipTokenizer(vocab_path).vocab_size
+    med_cfg_path = str(root / "med.json")
+    json.dump({"vocab_size": vocab_size, "hidden_size": 32, "num_hidden_layers": 2,
+               "num_attention_heads": 4, "intermediate_size": 64,
+               "max_position_embeddings": 64, "encoder_width": 32,
+               "add_cross_attention": True}, open(med_cfg_path, "w"))
+
+    vit_cfg = ViTConfig(image_size=IMAGE_SIZE, **VIT_KW)
+    med_cfg = MedConfig.from_json(med_cfg_path)
+    ckpt = str(root / "retrieval.pth")
+    save_torch_ckpt(make_blip_itm_ckpt(vit_cfg, med_cfg, embed_dim=8), ckpt)
+
+    onto = root / "onto"
+    onto.mkdir()
+    json.dump(["dog", "cat", "bird"], open(onto / "objects.json", "w"))
+    json.dump(["red", "blue", "shiny"], open(onto / "attributes.json", "w"))
+    json.dump(["beach", "park", "kitchen"], open(onto / "scenes.json", "w"))
+    json.dump(["running", "sitting", "eating"], open(onto / "verbs.json", "w"))
+
+    config = dict(
+        video_roots=str(videos), video_formats="mp4", train_ann_jsons=ann_path,
+        frm_sampling_strategy="uniform", height=None, width=None,
+        start_time=None, end_time=None, fps=-1,
+        num_frm_visual_tokenization=2,
+        blip_model_visual_tokenization=ckpt,
+        vit="tiny", vit_config=VIT_KW, image_size=IMAGE_SIZE,
+        med_config=med_cfg_path, bert_vocab=vocab_path,
+        ontology="custom",
+        ontology_paths={k: str(onto / f"{k}.json") for k in
+                        ["objects", "attributes", "scenes", "verbs"]},
+        topk_visualize=2, prompt_version_visual_tokenization="v1",
+        save_frames=False, early_stop_step=-1, videos_per_batch=2, k_test=2,
+    )
+    return types.SimpleNamespace(root=root, config=config)
+
+
+def test_blip_mode_cli(workdir):
+    import run_visual_tokenization as cli
+
+    out_dir = str(workdir.root / "out")
+    args = types.SimpleNamespace(output_dir=out_dir, seed=42, world_size=1,
+                                 dist_url="env://", distributed=False,
+                                 device="cpu", encoder_version="blip")
+    os.makedirs(out_dir, exist_ok=True)
+    cli.main(args, dict(workdir.config))
+
+    tokens = json.load(open(os.path.join(out_dir, "visual_tokens.json")))
+    assert set(tokens.keys()) == {"vid0", "vid1"}
+    for vid, obj in tokens.items():
+        assert len(obj["frame_tokens"]) == 2
+        for ft in obj["frame_tokens"]:
+            assert len(ft["objects"]) == 2
+            assert set(ft["objects"]) <= {"dog", "cat", "bird"}
+        assert len(obj["aggregated_tokens"]["verbs"]) == 2
+
+
+def test_blip_rerank_scores_structure(workdir):
+    """ITM rerank: -100 outside the top-k_test, itm+sim inside (reference
+    run_visual_tokenization.py:277-293)."""
+    import run_visual_tokenization as cli
+
+    engine = cli.build_blip_engine(dict(workdir.config))
+    texts = ["A photo of dog", "A photo of cat", "A photo of bird", "A photo of beach"]
+    text_embeds, text_ids, text_atts = engine.embed_texts(texts)
+    assert text_ids[0, 0] == engine.tok.enc_token_id
+    frames = np.random.RandomState(0).randint(0, 256, (2, IMAGE_SIZE, IMAGE_SIZE, 3)).astype(np.uint8)
+    feats, embeds = engine.embed_frames(frames)
+    sims = engine.score(embeds, text_embeds)
+    assert sims.shape == (2, 4)
+    row = engine.rerank(sims[0], feats[0], text_ids, text_atts)
+    assert row.shape == (4,)
+    assert (row == -100.0).sum() == 2  # k_test=2 -> 2 scored, 2 at -100
