@@ -10,7 +10,7 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from vidil_tpu.models.testing import make_blip_decoder_ckpt, save_torch_ckpt
+from vidil_tpu.models.testing import make_blip_decoder_ckpt, make_blip_itm_ckpt, save_torch_ckpt
 from vidil_tpu.config import MedConfig, ViTConfig
 from vidil_tpu.tokenizer import BlipTokenizer, write_test_vocab
 
@@ -60,9 +60,11 @@ def workdir(tmp_path_factory):
     med_cfg = MedConfig.from_json(med_cfg_path)
     ckpt = str(root / "decoder.pth")
     save_torch_ckpt(make_blip_decoder_ckpt(vit_cfg, med_cfg), ckpt)
+    fil_ckpt = str(root / "filterer.pth")
+    save_torch_ckpt(make_blip_itm_ckpt(vit_cfg, med_cfg), fil_ckpt)
 
     return types.SimpleNamespace(root=root, videos=videos, vocab=vocab_path,
-                                 med=med_cfg_path, ckpt=ckpt)
+                                 med=med_cfg_path, ckpt=ckpt, fil_ckpt=fil_ckpt)
 
 
 def test_train_caption_cli(workdir):
@@ -134,3 +136,37 @@ def test_train_retrieval_cli(workdir):
     log = [json.loads(l) for l in open(os.path.join(out_dir, "log.txt"))]
     assert "val_r_mean" in log[-1] and "test_r_mean" in log[-1]
     assert 0 <= log[-1]["val_r_mean"] <= 100
+
+
+def test_train_caption_single_frame(workdir):
+    """'single_frame' representation: ITM-selected best frame per caption
+    (reference: train_caption_video.py:30-36,137-143)."""
+    import train_caption_video as cli
+
+    root = workdir.root
+    config = dict(
+        video_root=str(workdir.videos),
+        train_ann_jsonl=str(root / "train.jsonl"),
+        val_ann_jsonl=str(root / "val.jsonl"),
+        test_ann_jsonl=str(root / "test.jsonl"),
+        num_frm_train=2, num_frm_test=2, frm_sampling_strategy="uniform",
+        height=None, width=None, start_time=None, end_time=None, fps=-1,
+        video_representation="single_frame",
+        pretrained=workdir.ckpt, filterer_model_ckpt=workdir.fil_ckpt,
+        bert_vocab=workdir.vocab,
+        vit="tiny", vit_config=VIT_KW, med_config=workdir.med,
+        train_batch_size=2, test_batch_size=2, init_lr=1e-4,
+        image_size=IMAGE_SIZE, max_length=12, min_length=2, num_beams=2,
+        prompt="a video of ", weight_decay=0.05, min_lr=0, max_epoch=1,
+        skip_val=True,
+    )
+    out_dir = str(root / "cap_sf_out")
+    result_dir = os.path.join(out_dir, "result")
+    os.makedirs(result_dir, exist_ok=True)
+    args = types.SimpleNamespace(output_dir=out_dir, result_dir=result_dir,
+                                 evaluate=False, seed=42, world_size=1,
+                                 dist_url="env://", distributed=False, device="cpu")
+    cli.main(args, config)
+    assert os.path.exists(os.path.join(out_dir, "checkpoint_best.npz"))
+    log = [json.loads(l) for l in open(os.path.join(out_dir, "log.txt"))]
+    assert "test_CIDEr" in log[-1]

@@ -129,6 +129,26 @@ def main(args, config):
     train_step = jax.jit(make_caption_train_step(
         vit_cfg, med_cfg, optimizer, prompt_length, dtype=jnp.bfloat16))
 
+    # 'single_frame' mode: pick the best-matching frame per caption with the
+    # ITM filterer (reference: train_caption_video.py:30-36,137-143)
+    single_frame = config.get("video_representation", "concat_frame") == "single_frame"
+    if single_frame:
+        from vidil_tpu.models import convert as _convert
+        from vidil_tpu.train.caption import select_frame_itm
+
+        fil_sd = _convert.load_torch_state_dict(config["filterer_model_ckpt"])
+        filterer = _convert.convert_blip_itm(fil_sd, vit_cfg, med_cfg)
+        select_jit = jax.jit(lambda f, i, m: select_frame_itm(
+            filterer, f, i, m, vit_cfg, med_cfg, dtype=jnp.bfloat16))
+
+        def select_frames(video, ids, mask):
+            out = []
+            for b in range(video.shape[0]):
+                idx = int(select_jit(jnp.asarray(video[b]), jnp.asarray(ids[b]),
+                                     jnp.asarray(mask[b])))
+                out.append(video[b, idx:idx + 1])
+            return np.stack(out)  # (B, 1, S, S, C)
+
     best, best_epoch = 0.0, 0
     for epoch in range(config["max_epoch"]):
         if not args.evaluate:
@@ -139,6 +159,8 @@ def main(args, config):
             logger = utils.MetricLogger(delimiter="  ")
             for video, captions in logger.log_every(train_loader, 50, f"Train epoch {epoch}"):
                 ids, mask = tokenize_captions(tokenizer, list(captions))
+                if single_frame:
+                    video = select_frames(video, ids, mask)
                 batch = {"video": jnp.asarray(video), "input_ids": jnp.asarray(ids),
                          "attention_mask": jnp.asarray(mask)}
                 state, metrics = train_step(state, batch)
