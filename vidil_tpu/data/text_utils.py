@@ -13,6 +13,33 @@ import re
 from vidil_tpu.utils import barrier, get_rank, get_world_size, is_main_process
 
 
+def is_locked(filepath: str) -> bool:
+    """True while another process holds the file open exclusively — the
+    reference's only concurrency guard for multi-process reads of one file
+    (reference: data/utils.py:13-26)."""
+    locked = None
+    if os.path.exists(filepath):
+        try:
+            with open(filepath, "r+"):
+                locked = False
+        except IOError:
+            locked = True
+    return bool(locked)
+
+
+def wait_for_file(filepath: str, wait_time: float = 1.0, max_wait: float = 60.0) -> bool:
+    """Poll until the file is readable (reference: data/utils.py:28-33)."""
+    import time
+
+    waited = 0.0
+    while is_locked(filepath):
+        time.sleep(wait_time)
+        waited += wait_time
+        if waited >= max_wait:
+            return False
+    return os.path.exists(filepath)
+
+
 def pre_caption(caption: str, max_words: int = 50) -> str:
     caption = re.sub(r"([.!\"()*#:;~])", " ", caption.lower())
     caption = re.sub(r"\s{2,}", " ", caption)

@@ -83,41 +83,52 @@ class RetrievalEvaluator:
             embeds.append(np.asarray(e))
         return np.concatenate(feats), np.concatenate(embeds)
 
-    def _rerank_rows(self, sims, row_feats_fn, make_pairs):
-        """Shared k_test rerank over this rank's row shard."""
+    def _rerank_rows(self, sims, make_block):
+        """k_test rerank over this rank's row shard, R rows per jitted ITM
+        call (the reference loops one row per device step,
+        train_retrieval_video.py:146-180)."""
         n_rows, n_cols = sims.shape
         k = min(self.k_test, n_cols)
+        R = max(1, self.rows_per_batch)
         scores = np.full(sims.shape, -100.0, np.float32)
         start, end = shard_range(n_rows)
-        for i in range(start, end):
-            topk_idx = np.argsort(sims[i])[::-1][:k]
-            topk_sim = sims[i][topk_idx]
-            img, ids, mask = make_pairs(i, topk_idx)
+        for block_start in range(start, end, R):
+            rows = list(range(block_start, min(end, block_start + R)))
+            real = len(rows)
+            while len(rows) < R:  # pad to keep one compiled shape
+                rows.append(rows[-1])
+            rows_arr = np.asarray(rows)
+            topk_idx = np.argsort(sims[rows_arr], axis=1)[:, ::-1][:, :k]  # (R, k)
+            img, ids, mask = make_block(rows_arr, topk_idx)
             itm = np.asarray(self._itm(jnp.asarray(img), jnp.asarray(ids), jnp.asarray(mask)))
-            scores[i, topk_idx] = itm + topk_sim
+            itm = itm.reshape(R, k)
+            for j in range(real):
+                i = rows[j]
+                scores[i, topk_idx[j]] = itm[j] + sims[i][topk_idx[j]]
         return scores
 
     def score_matrices(self, video_feats, video_embeds, text_embeds, text_ids, text_atts):
         """Full v2t / t2v score matrices (reference :135-186)."""
         sims = video_embeds @ text_embeds.T
+        k = min(self.k_test, sims.shape[1])
 
-        def pairs_v2t(i, topk_idx):
-            k = len(topk_idx)
-            img = np.broadcast_to(video_feats[i][None], (k,) + video_feats[i].shape)
-            return img, text_ids[topk_idx], text_atts[topk_idx]
+        def block_v2t(rows, topk_idx):
+            img = np.repeat(video_feats[rows], k, axis=0)  # (R*k, Lk, D)
+            flat = topk_idx.reshape(-1)
+            return img, text_ids[flat], text_atts[flat]
 
-        score_v2t = self._rerank_rows(sims, None, pairs_v2t)
+        score_v2t = self._rerank_rows(sims, block_v2t)
 
         sims_t = sims.T
+        k_t = min(self.k_test, sims_t.shape[1])
 
-        def pairs_t2v(i, topk_idx):
-            k = len(topk_idx)
-            img = video_feats[topk_idx]
-            ids = np.broadcast_to(text_ids[i][None], (k,) + text_ids[i].shape)
-            mask = np.broadcast_to(text_atts[i][None], (k,) + text_atts[i].shape)
+        def block_t2v(rows, topk_idx):
+            img = video_feats[topk_idx.reshape(-1)]
+            ids = np.repeat(text_ids[rows], k_t, axis=0)
+            mask = np.repeat(text_atts[rows], k_t, axis=0)
             return img, ids, mask
 
-        score_t2v = self._rerank_rows(sims_t, None, pairs_t2v)
+        score_t2v = self._rerank_rows(sims_t, block_t2v)
 
         if get_world_size() > 1:
             from jax.experimental import multihost_utils
