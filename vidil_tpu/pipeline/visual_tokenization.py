@@ -284,15 +284,26 @@ class BlipTokenizationEngine:
         """ITM rerank of the top k_test texts for one frame (reference
         :277-293): score = itm_logit[:, 1] + topk_sim at the topk indices,
         -100 elsewhere."""
-        k = min(self.k_test, sims_row.shape[0])
-        topk_idx = np.argsort(sims_row)[::-1][:k]
-        topk_sim = sims_row[topk_idx]
-        rep = np.broadcast_to(image_feat[None], (k,) + image_feat.shape)
+        return self.rerank_block(sims_row[None], image_feat[None], text_ids, text_atts)[0]
+
+    def rerank_block(self, sims_rows, image_feats, text_ids, text_atts):
+        """Batched ITM rerank: R frames' top-k_test texts scored in ONE
+        program (the reference loops per frame, :281-293).
+
+        sims_rows: (R, n_texts); image_feats: (R, P, D). Returns (R, n_texts)
+        with -100 outside each row's top-k.
+        """
+        R, n_texts = sims_rows.shape
+        k = min(self.k_test, n_texts)
+        topk_idx = np.argsort(sims_rows, axis=1)[:, ::-1][:, :k]  # (R, k)
+        flat = topk_idx.reshape(-1)
+        img = np.repeat(image_feats, k, axis=0)  # (R*k, P, D)
         scores = np.asarray(self._itm(
-            jnp.asarray(rep), jnp.asarray(text_ids[topk_idx]), jnp.asarray(text_atts[topk_idx])
-        ))
-        out = np.full(sims_row.shape, -100.0, np.float32)
-        out[topk_idx] = scores + topk_sim
+            jnp.asarray(img), jnp.asarray(text_ids[flat]), jnp.asarray(text_atts[flat])
+        )).reshape(R, k)
+        out = np.full(sims_rows.shape, -100.0, np.float32)
+        for r in range(R):
+            out[r, topk_idx[r]] = scores[r] + sims_rows[r][topk_idx[r]]
         return out
 
 
@@ -351,10 +362,19 @@ def predict_videos(
 
         sims = engine.score(image_embeds, text_embeds)  # (n_frames_total, n_texts)
         if blip_mode:
-            score = np.stack([
-                engine.rerank(sims[i], image_feats[i], text_ids, text_atts)
-                for i in range(sims.shape[0])
-            ])
+            # rerank frames in blocks of rerank_rows per compiled program
+            R = getattr(engine, "rerank_rows", 4)
+            blocks = []
+            for s in range(0, sims.shape[0], R):
+                e = min(sims.shape[0], s + R)
+                rows = sims[s:e]
+                feats = image_feats[s:e]
+                if e - s < R:  # pad to keep one compiled shape
+                    pad = R - (e - s)
+                    rows = np.concatenate([rows, np.repeat(rows[-1:], pad, axis=0)])
+                    feats = np.concatenate([feats, np.repeat(feats[-1:], pad, axis=0)])
+                blocks.append(engine.rerank_block(rows, feats, text_ids, text_atts)[: e - s])
+            score = np.concatenate(blocks)
         else:
             score = sims
 
