@@ -144,3 +144,24 @@ def test_vit_bf16_close():
     bf16 = np.asarray(vit_forward(params, x, cfg, dtype=jnp.bfloat16)).astype(np.float32)
     assert np.max(np.abs(f32 - bf16)) < 0.15
     assert np.mean(np.abs(f32 - bf16)) < 0.03
+
+
+def test_vit_remat_matches_and_grads():
+    """remat=True must match remat=False forward AND differentiate under
+    bf16 (regression: jax.checkpoint abstracted the dtype positional arg
+    unless marked static)."""
+    import dataclasses
+
+    cfg = CFG
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    params = init_vit(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.image_size, cfg.image_size, 3))
+    a = np.asarray(vit_forward(params, x, cfg, dtype=jnp.bfloat16)).astype(np.float32)
+    b = np.asarray(vit_forward(params, x, cfg_r, dtype=jnp.bfloat16)).astype(np.float32)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def loss(p):
+        return vit_forward(p, x, cfg_r, dtype=jnp.bfloat16).astype(jnp.float32).sum()
+
+    g = jax.jit(jax.grad(loss))(params)
+    assert np.isfinite(float(jnp.sum(jnp.abs(g["patch_embed"]["kernel"]))))
