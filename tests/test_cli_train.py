@@ -170,3 +170,40 @@ def test_train_caption_single_frame(workdir):
     assert os.path.exists(os.path.join(out_dir, "checkpoint_best.npz"))
     log = [json.loads(l) for l in open(os.path.join(out_dir, "log.txt"))]
     assert "test_CIDEr" in log[-1]
+
+def test_train_retrieval_resume(workdir):
+    """checkpoint_last is a full train state; resuming from it skips the
+    completed epochs and continues (optimizer moments + queues restored)."""
+    import train_retrieval_video as cli
+
+    root = workdir.root
+    out_dir = str(root / "ret_out")
+    last = os.path.join(out_dir, "checkpoint_last.npz")
+    assert os.path.exists(last)  # written by test_train_retrieval_cli
+
+    config = dict(
+        dataset="msrvtt",
+        train_video_root=str(workdir.videos),
+        train_ann_jsonl=str(root / "train.jsonl"),
+        eval_video_root=str(workdir.videos),
+        val_ann_jsonl=str(root / "val.jsonl"),
+        test_ann_jsonl=str(root / "test.jsonl"),
+        num_frm_train=2, num_frm_test=2, frm_sampling_strategy="uniform",
+        height=None, width=None, start_time=None, end_time=None, fps=-1,
+        video_representation="concat_frame",
+        pretrained="", bert_vocab=workdir.vocab,
+        vit="tiny", vit_config=VIT_KW, med_config=workdir.med,
+        batch_size_train=4, batch_size_test=2, init_lr=1e-5,
+        image_size=IMAGE_SIZE, queue_size=16, alpha=0.4, k_test=3,
+        negative_all_rank=True, weight_decay=0.05, min_lr=0, max_epoch=2,
+        resume=last,
+    )
+    out_dir2 = str(root / "ret_out_resume")
+    os.makedirs(out_dir2, exist_ok=True)
+    args = types.SimpleNamespace(output_dir=out_dir2, evaluate=False, seed=42,
+                                 world_size=1, dist_url="env://",
+                                 distributed=False, device="cpu")
+    cli.main(args, config)
+    log = [json.loads(l) for l in open(os.path.join(out_dir2, "log.txt"))]
+    # only epoch 1 ran (epoch 0 restored from the checkpoint)
+    assert [l["epoch"] for l in log] == [1]

@@ -134,3 +134,41 @@ def test_partition_spec_rules():
     assert specs["text_encoder"]["layers"]["mlp"]["fc2"]["kernel"] == P(None, "model", None)
     assert specs["visual_encoder"]["pos_embed"] == P()
     assert specs["temp"] == P()
+
+
+def test_full_state_checkpoint_resume(state_and_step, tmp_path):
+    """save_train_state/load_train_state roundtrips the WHOLE pytree
+    (optax NamedTuple opt_state, momentum params, queues), and a resumed
+    step is bit-identical to an uninterrupted run."""
+    from vidil_tpu.utils.checkpoint import load_train_state, save_train_state
+
+    state, step = state_and_step
+    jit_step = jax.jit(step)
+    s1, _ = jit_step(state, make_batch(), 0.4, jax.random.PRNGKey(1))
+
+    path = str(tmp_path / "ck")
+    save_train_state(path, s1, meta={"epoch": 3})
+
+    # fresh template with identical shapes but different values
+    template = create_train_state(jax.random.PRNGKey(7), VIT, MED,
+                                  make_optimizer(1e-4), embed_dim=EMBED, queue_size=QUEUE)
+    restored, meta = load_train_state(path, template)
+    assert meta == {"epoch": 3}
+    for a, b in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    batch2 = make_batch(seed=1)
+    cont, mc = jit_step(s1, batch2, 0.4, jax.random.PRNGKey(2))
+    res, mr = jit_step(restored, batch2, 0.4, jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(mc["loss"]), np.asarray(mr["loss"]))
+    assert int(res.queue.ptr) == int(cont.queue.ptr)
+
+
+def test_load_train_state_shape_mismatch(tmp_path):
+    from vidil_tpu.utils.checkpoint import load_train_state, save_train_state
+
+    save_train_state(str(tmp_path / "ck"), {"a": np.zeros((2, 3))})
+    with pytest.raises(ValueError, match="shape"):
+        load_train_state(str(tmp_path / "ck"), {"a": np.zeros((3, 2))})
+    with pytest.raises(ValueError, match="leaves"):
+        load_train_state(str(tmp_path / "ck"), {"a": np.zeros((2, 3)), "b": np.zeros(1)})

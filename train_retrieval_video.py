@@ -58,7 +58,7 @@ def main(args, config):
         make_optimizer,
         make_retrieval_train_step,
     )
-    from vidil_tpu.utils.checkpoint import save_checkpoint
+    from vidil_tpu.utils.checkpoint import load_train_state, save_checkpoint, save_train_state
 
     utils.init_distributed_mode(args)
     utils.seed_everything(args.seed)
@@ -88,6 +88,15 @@ def main(args, config):
                                queue_size=queue_size, params=params)
     train_step = jax.jit(make_retrieval_train_step(vit_cfg, med_cfg, optimizer, dtype=jnp.bfloat16))
 
+    # full-state resume: params + optimizer moments + momentum encoder +
+    # feature queues (reference resumes model+optimizer from torch.save)
+    start_epoch = 0
+    resume_path = config.get("resume", "")
+    if resume_path and not args.evaluate:
+        state, ck_meta = load_train_state(resume_path, state)
+        start_epoch = (ck_meta or {}).get("epoch", -1) + 1
+        print(f"resumed full train state from {resume_path} at epoch {start_epoch}")
+
     def tokenize(captions):
         enc = tokenizer(captions, padding="max_length", truncation=True, max_length=35)
         enc_ids = enc.input_ids.copy()
@@ -107,7 +116,7 @@ def main(args, config):
 
     best, best_epoch = 0.0, 0
     n_steps_per_epoch = len(train_loader)
-    for epoch in range(config["max_epoch"]):
+    for epoch in range(start_epoch, config["max_epoch"]):
         if not args.evaluate:
             train_loader.set_epoch(epoch)
             lr = utils.cosine_lr_schedule(epoch, config["max_epoch"], config["init_lr"],
@@ -144,6 +153,9 @@ def main(args, config):
             log_stats["best_epoch"] = best_epoch
             with open(os.path.join(args.output_dir, "evaluate.txt" if args.evaluate else "log.txt"), "a") as f:
                 f.write(json.dumps(log_stats) + "\n")
+            if not args.evaluate:
+                save_train_state(os.path.join(args.output_dir, "checkpoint_last"),
+                                 state, meta={"epoch": epoch})
         if args.evaluate:
             break
         utils.barrier()

@@ -54,3 +54,44 @@ def load_checkpoint(path: str):
     if "__meta__" in data.files:
         meta = json.loads(bytes(data["__meta__"]).decode())
     return _unflatten(flat), meta
+
+
+def save_train_state(path: str, state, meta: dict | None = None) -> None:
+    """Checkpoint an ARBITRARY pytree (train state incl. optax NamedTuple
+    optimizer states, momentum params, feature queues) by leaf index.
+
+    The reference saves {'model','optimizer','config','epoch'} via
+    torch.save (train_retrieval_video.py:262-270); here the whole
+    functional train state is one pytree, restored against a freshly
+    constructed template so NamedTuple/dataclass structure survives.
+    """
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(state)
+    flat = {f"leaf_{i:05d}": np.asarray(v) for i, v in enumerate(leaves)}
+    if meta is not None:
+        flat["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(path, **flat)
+
+
+def load_train_state(path: str, template):
+    """Restore a pytree saved by save_train_state into the structure of
+    ``template`` (a freshly built state with identical shapes). Returns
+    (state, meta_dict_or_None)."""
+    import jax
+
+    data = np.load(path if path.endswith(".npz") else path + ".npz", allow_pickle=False)
+    meta = None
+    if "__meta__" in data.files:
+        meta = json.loads(bytes(data["__meta__"]).decode())
+    keys = sorted(k for k in data.files if k != "__meta__")
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    if len(keys) != len(leaves):
+        raise ValueError(f"checkpoint has {len(keys)} leaves, template has {len(leaves)}")
+    restored = []
+    for k, ref in zip(keys, leaves):
+        arr = data[k]
+        if arr.shape != tuple(np.shape(ref)):
+            raise ValueError(f"{k}: shape {arr.shape} != template {np.shape(ref)}")
+        restored.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, restored), meta
