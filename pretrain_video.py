@@ -25,7 +25,7 @@ def main(args, config):
     from vidil_tpu.tokenizer import BlipTokenizer
     from vidil_tpu.train.pretrain import create_pretrain_state, make_pretrain_step
     from vidil_tpu.train.retrieval import make_optimizer
-    from vidil_tpu.utils.checkpoint import save_checkpoint
+    from vidil_tpu.utils.checkpoint import load_train_state, save_checkpoint, save_train_state
 
     utils.init_distributed_mode(args)
     utils.seed_everything(args.seed)
@@ -50,9 +50,16 @@ def main(args, config):
                                   queue_size=queue_size)
     step_fn = jax.jit(make_pretrain_step(vit_cfg, med_cfg, optimizer, dtype=jnp.bfloat16))
 
+    start_epoch = 0
+    resume_path = config.get("resume", "")
+    if resume_path:
+        state, ck_meta = load_train_state(resume_path, state)
+        start_epoch = (ck_meta or {}).get("epoch", -1) + 1
+        print(f"resumed full train state from {resume_path} at epoch {start_epoch}")
+
     warmup_steps = config.get("warmup_steps", 3000)
     n_per_epoch = len(loader)
-    for epoch in range(config["max_epoch"]):
+    for epoch in range(start_epoch, config["max_epoch"]):
         loader.set_epoch(epoch)
         logger = utils.MetricLogger(delimiter="  ")
         for i, (video, captions, _) in enumerate(logger.log_every(loader, 50, f"Pretrain epoch {epoch}")):
@@ -82,6 +89,8 @@ def main(args, config):
         if utils.is_main_process():
             save_checkpoint(os.path.join(args.output_dir, f"checkpoint_{epoch:02d}"), state.params,
                             meta={"epoch": epoch})
+            save_train_state(os.path.join(args.output_dir, "checkpoint_last"),
+                             state, meta={"epoch": epoch})
             with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
                 stats = {k: m.global_avg for k, m in logger.meters.items()}
                 f.write(json.dumps({**stats, "epoch": epoch}) + "\n")

@@ -98,7 +98,7 @@ def main(args, config):
     from vidil_tpu.evals.caption import video_caption_eval
     from vidil_tpu.train.caption import create_caption_train_state, make_caption_train_step
     from vidil_tpu.train.retrieval import make_optimizer
-    from vidil_tpu.utils.checkpoint import save_checkpoint
+    from vidil_tpu.utils.checkpoint import load_train_state, save_checkpoint, save_train_state
 
     utils.init_distributed_mode(args)
     utils.seed_everything(args.seed)
@@ -149,8 +149,17 @@ def main(args, config):
                 out.append(video[b, idx:idx + 1])
             return np.stack(out)  # (B, 1, S, S, C)
 
+    # full-state resume (params + AdamW moments); reference resumes
+    # model+optimizer from its torch.save checkpoint
+    start_epoch = 0
+    resume_path = config.get("resume", "")
+    if resume_path and not args.evaluate:
+        state, ck_meta = load_train_state(resume_path, state)
+        start_epoch = (ck_meta or {}).get("epoch", -1) + 1
+        print(f"resumed full train state from {resume_path} at epoch {start_epoch}")
+
     best, best_epoch = 0.0, 0
-    for epoch in range(config["max_epoch"]):
+    for epoch in range(start_epoch, config["max_epoch"]):
         if not args.evaluate:
             train_loader.set_epoch(epoch)
             lr = utils.cosine_lr_schedule(epoch, config["max_epoch"], config["init_lr"],
@@ -166,6 +175,9 @@ def main(args, config):
                 state, metrics = train_step(state, batch)
                 logger.update(loss=float(metrics["loss"]), lr=lr)
             train_stats = {k: f"{m.global_avg:.3f}" for k, m in logger.meters.items()}
+            if utils.is_main_process():
+                save_train_state(os.path.join(args.output_dir, "checkpoint_last"),
+                                 state, meta={"epoch": epoch})
 
         if epoch == config["max_epoch"] - 1 or args.evaluate:
             skip_val = config.get("skip_val", False)

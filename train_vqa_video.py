@@ -51,7 +51,7 @@ def main(args, config):
     from vidil_tpu.models.blip_vqa import rank_answer, vqa_generate_ids
     from vidil_tpu.train.retrieval import make_optimizer
     from vidil_tpu.train.vqa import create_vqa_train_state, make_vqa_train_step
-    from vidil_tpu.utils.checkpoint import save_checkpoint
+    from vidil_tpu.utils.checkpoint import load_train_state, save_checkpoint, save_train_state
 
     utils.init_distributed_mode(args)
     utils.seed_everything(args.seed)
@@ -74,7 +74,14 @@ def main(args, config):
         ids[:, 0] = tokenizer.enc_token_id
         return ids, enc.attention_mask
 
-    for epoch in range(config["max_epoch"]):
+    start_epoch = 0
+    resume_path = config.get("resume", "")
+    if resume_path and not args.evaluate:
+        state, ck_meta = load_train_state(resume_path, state)
+        start_epoch = (ck_meta or {}).get("epoch", -1) + 1
+        print(f"resumed full train state from {resume_path} at epoch {start_epoch}")
+
+    for epoch in range(start_epoch, config["max_epoch"]):
         if not args.evaluate:
             train_loader.set_epoch(epoch)
             lr = utils.cosine_lr_schedule(epoch, config["max_epoch"], config["init_lr"],
@@ -126,6 +133,8 @@ def main(args, config):
         if utils.is_main_process() and not args.evaluate:
             save_checkpoint(os.path.join(args.output_dir, "checkpoint_best"), state.params,
                             meta={"epoch": epoch})
+            save_train_state(os.path.join(args.output_dir, "checkpoint_last"),
+                             state, meta={"epoch": epoch})
         if args.evaluate:
             break
         utils.barrier()
