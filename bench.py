@@ -25,10 +25,12 @@ import numpy as np
 
 BASELINE_FRAMES_PER_SEC_A100_ESTIMATE = 20.0
 
-VIDEOS_PER_BATCH = 8
+import os as _os
+
+VIDEOS_PER_BATCH = int(_os.environ.get("BENCH_VIDEOS", 16))
 NUM_FRM = 4
 IMAGE_SIZE = 384
-ITERS = 6
+ITERS = int(_os.environ.get("BENCH_ITERS", 6))
 
 
 def log(msg):
@@ -89,7 +91,8 @@ def main():
     log(f"on-device param synth: {time.time()-t:.1f}s")
     engine = CapFiltEngine(cap, fil, tok, vit_cfg, med_cfg,
                            num_beams=3, max_length=20, min_length=5,
-                           dtype=jnp.bfloat16)
+                           dtype=jnp.bfloat16,
+                           beam_group_kv=_os.environ.get("BENCH_GROUP_KV", "1") == "1")
 
     rng = np.random.RandomState(0)
     frames = rng.randint(0, 256, size=(VIDEOS_PER_BATCH * NUM_FRM, IMAGE_SIZE, IMAGE_SIZE, 3)).astype(np.uint8)

@@ -152,3 +152,17 @@ def test_original_caption_sentences():
     assert out == ["one sentence here.", "second one!. third line"] or len(out) >= 2
     out2 = original_caption_sentences(["keep\nas is"], False)
     assert out2 == ["keep. as is"]
+
+
+def test_engine_beam_group_kv_identical(engine, tokenizer, synthetic_video):
+    """beam_group_kv=True (beams share one cross-K/V copy) must produce
+    the SAME captions as the default expanded-KV engine."""
+    from vidil_tpu.data.sampling import load_video_frames
+
+    cap = init_blip_decoder(jax.random.PRNGKey(0), VIT, MED)
+    fil = init_blip_itm(jax.random.PRNGKey(1), VIT, MED)
+    grouped = CapFiltEngine(cap, fil, tokenizer, VIT, MED,
+                            num_beams=3, max_length=16, min_length=5,
+                            dtype=None, beam_group_kv=True)
+    frames = preprocess_frames_pil(load_video_frames(synthetic_video, "uniform", 4), 32)
+    assert grouped.caption_frames(frames) == engine.caption_frames(frames)

@@ -58,3 +58,71 @@ def test_sbert_embed_normalized(hf_mpnet):
     mask2[:, 4:] = 0
     emb2 = np.asarray(sbert_embed(params, jnp.asarray(ids), jnp.asarray(mask2), CFG))
     assert not np.allclose(emb, emb2)
+
+
+def _write_mpnet_vocab(path):
+    words = ["<s>", "<pad>", "</s>", "<unk>", "[UNK]",
+             "a", "video", "of", "cat", "##s", "dog", "running", "the",
+             "person", "play", "##ing", "!", "<mask>"]
+    with open(path, "w") as f:
+        f.write("\n".join(words) + "\n")
+    return words
+
+
+def test_mpnet_tokenizer_hf_parity(tmp_path):
+    from transformers import MPNetTokenizer as HFTok
+
+    from vidil_tpu.tokenizer import MPNetTokenizer
+
+    vocab = str(tmp_path / "vocab.txt")
+    _write_mpnet_vocab(vocab)
+    ours = MPNetTokenizer(vocab)
+    hf = HFTok(vocab_file=vocab)
+
+    texts = ["a video of cats", "the dog running!", "person playing",
+             "A Video OF unknownword dogs"]
+    got = ours(texts, padding="max_length", truncation=True, max_length=12)
+    ref = hf(texts, padding="max_length", truncation=True, max_length=12)
+    np.testing.assert_array_equal(got.input_ids, np.asarray(ref["input_ids"], np.int32))
+    np.testing.assert_array_equal(got.attention_mask, np.asarray(ref["attention_mask"], np.int32))
+    assert ours.pad_token_id == hf.pad_token_id == 1
+    assert ours.cls_token_id == hf.cls_token_id
+    assert ours.sep_token_id == hf.sep_token_id
+
+
+def test_make_sbert_encoder_local_dir(tmp_path, hf_mpnet):
+    """make_sbert_encoder(<local HF snapshot dir>) runs the TPU-native
+    MPNet path and matches torch MPNetModel + mean-pool + L2-normalize."""
+    import json
+
+    from transformers import MPNetTokenizer as HFTok
+
+    from vidil_tpu.pipeline.generate_prompts import make_sbert_encoder
+
+    root = tmp_path / "snap"
+    root.mkdir()
+    _write_mpnet_vocab(str(root / "vocab.txt"))
+    json.dump({"vocab_size": CFG.vocab_size, "hidden_size": CFG.hidden_size,
+               "num_hidden_layers": CFG.num_layers,
+               "num_attention_heads": CFG.num_heads,
+               "intermediate_size": CFG.intermediate_size,
+               "max_position_embeddings": CFG.max_position_embeddings},
+              open(root / "config.json", "w"))
+    torch.save(hf_mpnet.state_dict(), str(root / "pytorch_model.bin"))
+
+    enc = make_sbert_encoder(str(root), max_length=12)
+    texts = ["a video of cats", "the dog running!"]
+    got = enc(texts)
+    assert got.shape == (2, CFG.hidden_size)
+
+    hf_tok = HFTok(vocab_file=str(root / "vocab.txt"))
+    batch = hf_tok(texts, padding="max_length", truncation=True, max_length=12,
+                   return_tensors="pt")
+    with torch.no_grad():
+        hidden = hf_mpnet(batch["input_ids"], attention_mask=batch["attention_mask"]).last_hidden_state
+    m = batch["attention_mask"][:, :, None].float()
+    pooled = (hidden * m).sum(1) / m.sum(1)
+    ref = (pooled / pooled.norm(dim=-1, keepdim=True)).numpy()
+    np.testing.assert_allclose(got, ref, atol=2e-2)  # bf16 matmuls
+    # cosine agreement must be essentially exact
+    assert float((got * ref).sum(-1).min()) > 0.999

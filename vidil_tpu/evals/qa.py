@@ -77,9 +77,17 @@ def question_aware_post_processing(question_str: str, answer_str: str) -> str:
 
 
 def _default_encoder():
+    import os
+
+    model_name = os.environ.get("VIDIL_SBERT_MODEL", "all-mpnet-base-v2")
+    if os.path.isdir(model_name):
+        # local MPNet snapshot -> TPU-native jitted encoder
+        from vidil_tpu.pipeline.generate_prompts import make_sbert_encoder
+
+        return make_sbert_encoder(model_name)
     from sentence_transformers import SentenceTransformer
 
-    model = SentenceTransformer("all-mpnet-base-v2")
+    model = SentenceTransformer(model_name)
     model.eval()
     return lambda texts: np.asarray(model.encode(texts, convert_to_tensor=False))
 

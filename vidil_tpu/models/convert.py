@@ -172,6 +172,10 @@ def convert_med(
 # ---------------------------------------------------------------------------
 
 def load_torch_state_dict(path: str) -> dict:
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)

@@ -117,6 +117,7 @@ class CapFiltEngine:
         itm_max_text_len: int = 35,
         dtype=jnp.bfloat16,
         length_norm: str = "legacy",
+        beam_group_kv: bool = False,
     ):
         self.captioner_params = captioner_params
         self.filterer_params = filterer_params
@@ -163,6 +164,7 @@ class CapFiltEngine:
             return B.blip_generate_ids(
                 params, embeds, prompt_b, med_cfg, gen,
                 sample=sample, rng_key=rng, dtype=dtype,
+                beam_group_kv=beam_group_kv and not sample,
             )
 
         @jax.jit

@@ -287,9 +287,51 @@ def _extract_compare_str(example: str, comparing_target: str) -> str:
     return example
 
 
-def make_sbert_encoder(model_name: str = "all-mpnet-base-v2"):
-    """Default encoder: SentenceTransformer (reference :175-179). Returns a
-    callable list[str] -> (n, d) float array. Raises a clear error offline."""
+def make_sbert_encoder(model_name: str = "all-mpnet-base-v2", max_length: int = 128):
+    """Sentence encoder for in-context selection / answer mapping
+    (reference :175-179 uses SentenceTransformer on GPU).
+
+    If ``model_name`` is a LOCAL DIRECTORY containing an MPNet checkpoint
+    (``vocab.txt`` + ``pytorch_model.bin``/``model.safetensors`` +
+    ``config.json`` — an HF snapshot, or a sentence-transformers snapshot
+    whose model files live at the top level), the TPU-native MPNet path is
+    used: one jitted program, no torch. Otherwise falls back to the
+    sentence_transformers package (raises a clear error offline).
+    Returns a callable list[str] -> (n, d) float array.
+    """
+    import os
+
+    if os.path.isdir(model_name):
+        import json
+
+        from vidil_tpu.models.convert import load_torch_state_dict
+        from vidil_tpu.models.mpnet import MPNetConfig, convert_mpnet, make_tpu_sbert_encoder
+        from vidil_tpu.tokenizer import MPNetTokenizer
+
+        root = model_name
+        hf_cfg = json.load(open(os.path.join(root, "config.json")))
+        cfg = MPNetConfig(
+            vocab_size=hf_cfg.get("vocab_size", 30527),
+            hidden_size=hf_cfg.get("hidden_size", 768),
+            num_layers=hf_cfg.get("num_hidden_layers", 12),
+            num_heads=hf_cfg.get("num_attention_heads", 12),
+            intermediate_size=hf_cfg.get("intermediate_size", 3072),
+            max_position_embeddings=hf_cfg.get("max_position_embeddings", 514),
+            relative_attention_num_buckets=hf_cfg.get("relative_attention_num_buckets", 32),
+            layer_norm_eps=hf_cfg.get("layer_norm_eps", 1e-12),
+            pad_token_id=hf_cfg.get("pad_token_id", 1),
+        )
+        ckpt = next(
+            os.path.join(root, f)
+            for f in ("pytorch_model.bin", "model.safetensors")
+            if os.path.exists(os.path.join(root, f))
+        )
+        sd = load_torch_state_dict(ckpt)
+        prefix = "mpnet." if any(k.startswith("mpnet.") for k in sd) else ""
+        params = convert_mpnet(sd, cfg, prefix=prefix)
+        tok = MPNetTokenizer(os.path.join(root, "vocab.txt"))
+        return make_tpu_sbert_encoder(params, cfg, tok, max_length=max_length)
+
     from sentence_transformers import SentenceTransformer
 
     model = SentenceTransformer(model_name)

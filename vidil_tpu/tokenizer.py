@@ -282,6 +282,40 @@ class BlipTokenizer:
         return [self.decode(row, skip_special_tokens) for row in np.asarray(batch_ids)]
 
 
+class MPNetTokenizer(BlipTokenizer):
+    """HF MPNetTokenizer-compatible WordPiece tokenizer.
+
+    Same WordPiece machinery as BERT but with roberta-style specials:
+    ``<s>`` (cls/bos), ``</s>`` (sep/eos), ``<pad>``, ``<mask>``; the unk
+    token is ``[UNK]`` when present in the vocab (the all-mpnet-base-v2
+    layout) else ``<unk>``. Used for the SBERT in-context-selection /
+    answer-mapping encoder (reference: SentenceTransformer
+    'all-mpnet-base-v2').
+    """
+
+    def __init__(self, vocab_file: str, do_lower_case: bool = True):
+        self.vocab = {}
+        with open(vocab_file, encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                self.vocab[line.rstrip("\n")] = i
+        self.pad_token = "<pad>"
+        self.cls_token = "<s>"
+        self.sep_token = "</s>"
+        self.mask_token = "<mask>"
+        self.unk_token = "[UNK]" if "[UNK]" in self.vocab else "<unk>"
+        special = {self.pad_token, self.cls_token, self.sep_token,
+                   self.mask_token, self.unk_token, "<unk>"}
+        self.special_tokens = {t for t in special if t in self.vocab} | {self.unk_token}
+        self.ids_to_tokens = {i: t for t, i in self.vocab.items()}
+        self.pad_token_id = self.vocab[self.pad_token]
+        self.cls_token_id = self.vocab[self.cls_token]
+        self.sep_token_id = self.vocab[self.sep_token]
+        self.unk_token_id = self.vocab[self.unk_token]
+        self.bos_token_id = self.cls_token_id
+        self.basic = BasicTokenizer(do_lower_case=do_lower_case, never_split=self.special_tokens)
+        self.wordpiece = WordPieceTokenizer(self.vocab, self.unk_token)
+
+
 # ---------------------------------------------------------------------------
 # CLIP BPE
 # ---------------------------------------------------------------------------
