@@ -27,7 +27,7 @@ BASELINE_FRAMES_PER_SEC_A100_ESTIMATE = 20.0
 
 import os as _os
 
-VIDEOS_PER_BATCH = int(_os.environ.get("BENCH_VIDEOS", 16))
+VIDEOS_PER_BATCH = int(_os.environ.get("BENCH_VIDEOS", 32))
 NUM_FRM = 4
 IMAGE_SIZE = 384
 ITERS = int(_os.environ.get("BENCH_ITERS", 6))

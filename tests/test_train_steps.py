@@ -86,6 +86,11 @@ def test_vqa_train_step_and_inference():
                             jnp.asarray(batch["question_mask"]), MED, FakeTok, max_length=8)
     assert seqs.shape == (B, 8)
     assert (np.asarray(seqs)[:, 0] == FakeTok.bos_token_id).all()
+    # grouped cross-KV beam decode must produce identical answers
+    seqs_g = vqa_generate_ids(state.params, embeds, jnp.asarray(batch["question_ids"]),
+                              jnp.asarray(batch["question_mask"]), MED, FakeTok,
+                              max_length=8, beam_group_kv=True)
+    np.testing.assert_array_equal(np.asarray(seqs), np.asarray(seqs_g))
 
     answers = rng.randint(6, 64, size=(10, 4)).astype(np.int32)
     answers[:, 0] = FakeTok.bos_token_id

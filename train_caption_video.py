@@ -75,7 +75,8 @@ def evaluate(params, loader, tokenizer, vit_cfg, med_cfg, config):
     @jax.jit
     def generate(params, video, prompt_b):
         embeds = B.encode_video_frames(params, video, vit_cfg, dtype=jnp.bfloat16)
-        return B.blip_generate_ids(params, embeds, prompt_b, med_cfg, gen, dtype=jnp.bfloat16)
+        return B.blip_generate_ids(params, embeds, prompt_b, med_cfg, gen, dtype=jnp.bfloat16,
+                                   beam_group_kv=config.get("beam_group_kv", True))
 
     result = []
     for video, video_ids in loader:

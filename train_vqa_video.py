@@ -119,7 +119,8 @@ def main(args, config):
             if inference == "generate":
                 seqs = vqa_generate_ids(state.params, embeds, jnp.asarray(q_ids),
                                         jnp.asarray(q_mask), med_cfg, tokenizer,
-                                        max_length=10, dtype=jnp.bfloat16)
+                                        max_length=10, dtype=jnp.bfloat16,
+                                        beam_group_kv=config.get("beam_group_kv", True))
                 answers = tokenizer.batch_decode(np.asarray(seqs))
             else:
                 idxs = rank_answer(state.params, embeds, jnp.asarray(q_ids), jnp.asarray(q_mask),
