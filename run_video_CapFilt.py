@@ -9,6 +9,8 @@ batched over many videos per device program.
 Extra config keys vs the reference:
   bert_vocab:       path to a bert-base-uncased vocab.txt (offline envs)
   videos_per_batch: videos per compiled step (default 8)
+  beam_group_kv:    grouped-KV beam decode, ~1.9x faster (default true)
+  data_parallel:    shard batches over all local chips SPMD (default false)
 """
 
 from __future__ import annotations
@@ -24,12 +26,23 @@ import numpy as np
 
 
 def build_engine(config, dtype=None):
+    import jax
     import jax.numpy as jnp
 
     from vidil_tpu.config import MedConfig, ViTConfig
     from vidil_tpu.models import convert
     from vidil_tpu.pipeline.capfilt import CapFiltEngine
     from vidil_tpu.tokenizer import BlipTokenizer
+
+    # data_parallel: one SPMD engine over all local chips (batch sharded
+    # over a 'data' mesh axis) instead of the reference's
+    # one-process-per-GPU sharding
+    mesh = None
+    if config.get("data_parallel", False) and len(jax.local_devices()) > 1:
+        from jax.sharding import Mesh
+
+        devs = jax.local_devices()
+        mesh = Mesh(np.asarray(devs), ("data",))
 
     if "vit_config" in config:  # custom architecture (tests / non-standard sizes)
         vit_cfg = ViTConfig(image_size=config["image_size"], **config["vit_config"])
@@ -53,6 +66,7 @@ def build_engine(config, dtype=None):
         # token-identical captions (tests/test_capfilt.py); costs a slower
         # one-time compile, so it is config-disableable
         beam_group_kv=config.get("beam_group_kv", True),
+        mesh=mesh,
     )
 
 

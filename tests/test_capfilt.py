@@ -166,3 +166,30 @@ def test_engine_beam_group_kv_identical(engine, tokenizer, synthetic_video):
                             dtype=None, beam_group_kv=True)
     frames = preprocess_frames_pil(load_video_frames(synthetic_video, "uniform", 4), 32)
     assert grouped.caption_frames(frames) == engine.caption_frames(frames)
+
+
+def test_engine_mesh_sharded_matches_single(engine, tokenizer, synthetic_video):
+    """CapFiltEngine(mesh=...) shards batches over the 'data' axis of a
+    device mesh; results must be identical to the meshless engine."""
+    from jax.sharding import Mesh
+    from vidil_tpu.data.sampling import load_video_frames
+
+    devs = np.array(jax.devices()[:4]).reshape(4)
+    mesh = Mesh(devs, ("data",))
+    cap = init_blip_decoder(jax.random.PRNGKey(0), VIT, MED)
+    fil = init_blip_itm(jax.random.PRNGKey(1), VIT, MED)
+    meshed = CapFiltEngine(cap, fil, tokenizer, VIT, MED,
+                           num_beams=3, max_length=16, min_length=5,
+                           dtype=None, mesh=mesh)
+
+    frames = preprocess_frames_pil(load_video_frames(synthetic_video, "uniform", 4), 32)
+    chunk = [{"video_id": f"v{i}", "frames": np.roll(frames, i, axis=0),
+              "text": ["a green gradient video"]} for i in range(4)]
+    config = dict(caption=True, filter=True, filter_generated_only=False,
+                  keep_original_caption=True, threshold=0.0,
+                  filter_mode="max_filter", generation_mode="beam",
+                  do_sentence_tokenization=False)
+    a = engine.run_chunk(chunk, config)
+    b = meshed.run_chunk(chunk, config)
+    for ra, rb in zip(a, b):
+        assert ra == rb

@@ -105,3 +105,23 @@ def test_cli_end_to_end(workdir):
     assert not os.path.exists(os.path.join(out_dir, "tmp"))
     # unfiltered = generated (keep_original_caption=False)
     assert capfilt["video0"] == cap["video0"]
+
+
+def test_cli_data_parallel_matches(workdir):
+    """data_parallel=true shards batches over the local device mesh and
+    produces byte-identical output files."""
+    import run_video_CapFilt as cli
+
+    out_dir = str(workdir.root / "out_dp")
+    args = types.SimpleNamespace(
+        output_dir=out_dir, seed=42, world_size=1, dist_url="env://",
+        distributed=False, device="cpu",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    cli.main(args, dict(workdir.config, data_parallel=True))
+
+    ref_dir = str(workdir.root / "out")
+    for name in ("video_text_CapFilt.json", "video_text_Cap.json"):
+        got = json.load(open(os.path.join(out_dir, name)))
+        ref = json.load(open(os.path.join(ref_dir, name)))
+        assert got == ref

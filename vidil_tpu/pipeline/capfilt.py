@@ -118,7 +118,22 @@ class CapFiltEngine:
         dtype=jnp.bfloat16,
         length_norm: str = "legacy",
         beam_group_kv: bool = False,
+        mesh=None,
     ):
+        # mesh: optional jax.sharding.Mesh with a 'data' axis. When given,
+        # params are replicated across the mesh once and every batch input
+        # is sharded over 'data', so one engine serves all local chips SPMD
+        # (the reference data-parallelizes inference by launching one
+        # process per GPU; here it is one program over the device mesh).
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            replicated = NamedSharding(mesh, P())
+            self._n_data = mesh.shape["data"]
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+            captioner_params = jax.device_put(captioner_params, replicated)
+            filterer_params = jax.device_put(filterer_params, replicated)
         self.captioner_params = captioner_params
         self.filterer_params = filterer_params
         self.tok = tokenizer
@@ -202,12 +217,23 @@ class CapFiltEngine:
             self.filterer_params, frames, num_frm)
         self._itm_pairs = lambda *a: _itm_pairs_fn(self.filterer_params, *a)
 
+    def _put(self, x):
+        """Device placement honoring the mesh: shard dim 0 over 'data'
+        when divisible, replicate otherwise; plain transfer without a mesh."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batchable = getattr(x, "ndim", 0) >= 1 and x.shape[0] % self._n_data == 0
+        return jax.device_put(x, self._batch_sharding if batchable
+                              else NamedSharding(self.mesh, P()))
+
     # -- captioning ---------------------------------------------------------
 
     def caption_frames(self, frames_u8: np.ndarray, mode: str = "beam", rng=None) -> list[str]:
         """(F, S, S, C) uint8 -> F caption strings (one per frame)."""
         rng = jax.random.PRNGKey(0) if rng is None else rng
-        seqs = self._caption(jnp.asarray(frames_u8), rng, sample=(mode != "beam"))
+        seqs = self._caption(self._put(frames_u8), rng, sample=(mode != "beam"))
         return B.decode_captions(self.tok, np.asarray(seqs), self.prompt)
 
     # -- filtering ----------------------------------------------------------
@@ -243,7 +269,7 @@ class CapFiltEngine:
         vid_idx[:n] = [p[0] for p in pairs]
 
         probs = np.asarray(self._itm_pairs(
-            frame_embeds, jnp.asarray(vid_idx), jnp.asarray(ids), jnp.asarray(mask)
+            frame_embeds, self._put(vid_idx), self._put(ids), self._put(mask)
         ))[:n]
 
         agg = probs.max(axis=1) if mode == "max_filter" else probs.sum(axis=1) / F
@@ -255,7 +281,7 @@ class CapFiltEngine:
 
     def encode_filter_frames(self, frames_u8: np.ndarray, num_frm: int):
         """(V*F, S, S, C) uint8 -> device array (V, F, P, D)."""
-        return self._encode_filter_frames(jnp.asarray(frames_u8), num_frm)
+        return self._encode_filter_frames(self._put(frames_u8), num_frm)
 
     # -- full CapFilt over a chunk ------------------------------------------
 
@@ -280,7 +306,8 @@ class CapFiltEngine:
         if isinstance(frame_list[0], jnp.ndarray) and not isinstance(frame_list[0], np.ndarray):
             all_frames_dev = jnp.concatenate(frame_list, axis=0)
         else:
-            all_frames_dev = jnp.asarray(np.concatenate(frame_list, axis=0))
+            all_frames_dev = np.concatenate(frame_list, axis=0)
+        all_frames_dev = self._put(all_frames_dev)
 
         # 1. caption all frames of all videos in one program
         if config.get("caption", True):
