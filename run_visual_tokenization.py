@@ -25,6 +25,22 @@ from pathlib import Path
 import numpy as np
 
 
+
+def _local_mesh(config):
+    """data_parallel: one SPMD engine over all local chips (batch sharded
+    over a 'data' mesh axis)."""
+    if not config.get("data_parallel", False):
+        return None
+    import jax
+
+    devs = jax.local_devices()
+    if len(devs) < 2:
+        return None
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(devs), ("data",))
+
+
 def build_clip_engine(config, dtype=None):
     from vidil_tpu.config import CLIPConfig
     from vidil_tpu.models.convert import convert_clip, load_torch_state_dict
@@ -40,7 +56,8 @@ def build_clip_engine(config, dtype=None):
     params = convert_clip(sd, clip_cfg)
     tok = ClipBPETokenizer(config["clip_vocab"], config["clip_merges"],
                            max_len=clip_cfg.max_text_len)
-    return ClipTokenizationEngine(params, clip_cfg, tok, dtype=dtype)
+    return ClipTokenizationEngine(params, clip_cfg, tok, dtype=dtype,
+                                  mesh=_local_mesh(config))
 
 
 def build_blip_engine(config, dtype=None):
@@ -59,7 +76,8 @@ def build_blip_engine(config, dtype=None):
     sd = load_torch_state_dict(config["blip_model_visual_tokenization"])
     params = convert_blip_retrieval(sd, vit_cfg, med_cfg, with_momentum=False)
     return BlipTokenizationEngine(params, vit_cfg, med_cfg, tok,
-                                  k_test=config.get("k_test", 128), dtype=dtype)
+                                  k_test=config.get("k_test", 128), dtype=dtype,
+                                  mesh=_local_mesh(config))
 
 
 def load_annotations(config) -> list[dict]:

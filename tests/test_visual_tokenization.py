@@ -173,3 +173,20 @@ def test_cli_deterministic(clip_workdir):
         cli.main(args, dict(clip_workdir.config))
         outs.append(open(os.path.join(out_dir, "visual_tokens.json")).read())
     assert outs[0] == outs[1]
+
+
+def test_cli_data_parallel_matches(clip_workdir):
+    """data_parallel=true shards frame/text batches over the local device
+    mesh; visual_tokens.json must be byte-identical."""
+    import run_visual_tokenization as cli
+
+    outs = []
+    for run, dp in enumerate([False, True]):
+        out_dir = str(clip_workdir.root / f"dp{run}")
+        args = types.SimpleNamespace(output_dir=out_dir, seed=42, world_size=1,
+                                     dist_url="env://", distributed=False,
+                                     device="cpu", encoder_version="clip")
+        os.makedirs(out_dir, exist_ok=True)
+        cli.main(args, dict(clip_workdir.config, data_parallel=dp))
+        outs.append(open(os.path.join(out_dir, "visual_tokens.json")).read())
+    assert outs[0] == outs[1]

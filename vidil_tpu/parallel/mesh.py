@@ -44,3 +44,11 @@ def shard_batch(mesh: Mesh, batch):
     """Device_put a pytree of host arrays with the batch axis sharded."""
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def batch_put(mesh: Mesh, x):
+    """Place one array on the mesh: dim 0 sharded over 'data' when it
+    divides evenly, replicated otherwise (inference engines use this so
+    ragged tails still run, just unsharded)."""
+    batchable = getattr(x, "ndim", 0) >= 1 and x.shape[0] % mesh.shape["data"] == 0
+    return jax.device_put(x, batch_sharding(mesh) if batchable else replicated(mesh))

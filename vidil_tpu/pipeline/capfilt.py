@@ -127,13 +127,10 @@ class CapFiltEngine:
         # process per GPU; here it is one program over the device mesh).
         self.mesh = mesh
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from vidil_tpu.parallel.mesh import replicated
 
-            replicated = NamedSharding(mesh, P())
-            self._n_data = mesh.shape["data"]
-            self._batch_sharding = NamedSharding(mesh, P("data"))
-            captioner_params = jax.device_put(captioner_params, replicated)
-            filterer_params = jax.device_put(filterer_params, replicated)
+            captioner_params = jax.device_put(captioner_params, replicated(mesh))
+            filterer_params = jax.device_put(filterer_params, replicated(mesh))
         self.captioner_params = captioner_params
         self.filterer_params = filterer_params
         self.tok = tokenizer
@@ -222,11 +219,9 @@ class CapFiltEngine:
         when divisible, replicate otherwise; plain transfer without a mesh."""
         if self.mesh is None:
             return jnp.asarray(x)
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from vidil_tpu.parallel.mesh import batch_put
 
-        batchable = getattr(x, "ndim", 0) >= 1 and x.shape[0] % self._n_data == 0
-        return jax.device_put(x, self._batch_sharding if batchable
-                              else NamedSharding(self.mesh, P()))
+        return batch_put(self.mesh, x)
 
     # -- captioning ---------------------------------------------------------
 

@@ -168,7 +168,15 @@ def clip_preprocess_pil(frames_u8: np.ndarray, size: int = 224) -> np.ndarray:
 class ClipTokenizationEngine:
     """encoder_version='clip': cosine scoring only (reference :295-296)."""
 
-    def __init__(self, clip_params, clip_cfg: CLIPConfig, clip_tokenizer, dtype=None):
+    def __init__(self, clip_params, clip_cfg: CLIPConfig, clip_tokenizer, dtype=None,
+                 mesh=None):
+        # mesh: optional Mesh with a 'data' axis — params replicated once,
+        # batch inputs sharded, so one engine serves all local chips SPMD
+        self.mesh = mesh
+        if mesh is not None:
+            from vidil_tpu.parallel.mesh import replicated
+
+            clip_params = jax.device_put(clip_params, replicated(mesh))
         self.params = clip_params
         self.cfg = clip_cfg
         self.tok = clip_tokenizer
@@ -194,6 +202,13 @@ class ClipTokenizationEngine:
         self._embed_frames = lambda frames: _embed_frames(self.params, frames)
         self._sims = _sims
 
+    def _put(self, x):
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from vidil_tpu.parallel.mesh import batch_put
+
+        return batch_put(self.mesh, x)
+
     def embed_texts(self, texts: list[str]) -> np.ndarray:
         """Batched text embedding (batch 512, reference :84-96)."""
         chunks = []
@@ -206,13 +221,13 @@ class ClipTokenizationEngine:
             if n < bs and len(texts) > bs:
                 pad = np.tile(ids[-1:], (bs - n, 1))
                 ids = np.concatenate([ids, pad], axis=0)
-            emb = np.asarray(self._embed_texts(jnp.asarray(ids)))[:n]
+            emb = np.asarray(self._embed_texts(self._put(ids)))[:n]
             chunks.append(emb)
         return np.concatenate(chunks, axis=0)
 
     def embed_frames(self, frames_u8: np.ndarray) -> np.ndarray:
         """(F, S, S, C) uint8 (already CLIP-preprocessed) -> (F, D)."""
-        return np.asarray(self._embed_frames(jnp.asarray(frames_u8)))
+        return np.asarray(self._embed_frames(self._put(frames_u8)))
 
     def score(self, image_embeds: np.ndarray, text_embeds: np.ndarray) -> np.ndarray:
         return np.asarray(self._sims(jnp.asarray(image_embeds), jnp.asarray(text_embeds)))
@@ -223,7 +238,12 @@ class BlipTokenizationEngine:
     :113-133,277-293). Uses BLIP retrieval-style params (blip_itm layout)."""
 
     def __init__(self, params, vit_cfg: ViTConfig, med_cfg: MedConfig, tokenizer,
-                 k_test: int = 128, dtype=None):
+                 k_test: int = 128, dtype=None, mesh=None):
+        self.mesh = mesh
+        if mesh is not None:
+            from vidil_tpu.parallel.mesh import replicated
+
+            params = jax.device_put(params, replicated(mesh))
         self.params = params
         self.vit_cfg = vit_cfg
         self.med_cfg = med_cfg
@@ -258,6 +278,13 @@ class BlipTokenizationEngine:
         self._embed_frames_j = lambda frames: _embed_frames(self.params, frames)
         self._itm = lambda *a: _itm(self.params, *a)
 
+    def _put(self, x):
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from vidil_tpu.parallel.mesh import batch_put
+
+        return batch_put(self.mesh, x)
+
     def embed_texts(self, texts: list[str]):
         """Returns (text_embeds, text_ids, text_atts); ids get [ENC] at pos 0
         for the ITM rerank (reference :114-133)."""
@@ -265,7 +292,7 @@ class BlipTokenizationEngine:
         bs = EMBEDDING_BATCH_LIMIT_TEXT
         for i in range(0, len(texts), bs):
             enc = self.tok(texts[i : i + bs], padding="max_length", truncation=True, max_length=35)
-            emb = np.asarray(self._embed_texts(jnp.asarray(enc.input_ids), jnp.asarray(enc.attention_mask)))
+            emb = np.asarray(self._embed_texts(self._put(enc.input_ids), self._put(enc.attention_mask)))
             embeds.append(emb)
             all_ids.append(enc.input_ids)
             all_atts.append(enc.attention_mask)
@@ -274,7 +301,7 @@ class BlipTokenizationEngine:
         return np.concatenate(embeds), text_ids, np.concatenate(all_atts)
 
     def embed_frames(self, frames_u8: np.ndarray):
-        feats, emb = self._embed_frames_j(jnp.asarray(frames_u8))
+        feats, emb = self._embed_frames_j(self._put(frames_u8))
         return np.asarray(feats), np.asarray(emb)
 
     def score(self, image_embeds, text_embeds):
@@ -299,7 +326,7 @@ class BlipTokenizationEngine:
         flat = topk_idx.reshape(-1)
         img = np.repeat(image_feats, k, axis=0)  # (R*k, P, D)
         scores = np.asarray(self._itm(
-            jnp.asarray(img), jnp.asarray(text_ids[flat]), jnp.asarray(text_atts[flat])
+            self._put(img), self._put(text_ids[flat]), self._put(text_atts[flat])
         )).reshape(R, k)
         out = np.full(sims_rows.shape, -100.0, np.float32)
         for r in range(R):
