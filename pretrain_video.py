@@ -57,6 +57,17 @@ def main(args, config):
         start_epoch = (ck_meta or {}).get("epoch", -1) + 1
         print(f"resumed full train state from {resume_path} at epoch {start_epoch}")
 
+    # SPMD over local chips (data_parallel / model_parallel config keys)
+    from vidil_tpu.parallel import shard_params
+    from vidil_tpu.parallel.mesh import mesh_from_config, shard_batch
+
+    mesh = mesh_from_config(config)
+    if mesh is not None:
+        print(f"training over mesh {dict(mesh.shape)}")
+        assert B % mesh.shape["data"] == 0
+        state = state._replace(params=shard_params(state.params, mesh),
+                               params_m=shard_params(state.params_m, mesh))
+
     warmup_steps = config.get("warmup_steps", 3000)
     n_per_epoch = len(loader)
     for epoch in range(start_epoch, config["max_epoch"]):
@@ -79,9 +90,11 @@ def main(args, config):
             enc_ids[:, 0] = tokenizer.enc_token_id
             dec_ids = enc.input_ids.copy()
             dec_ids[:, 0] = tokenizer.bos_token_id
-            batch = {"video": jnp.asarray(video), "text_ids": jnp.asarray(enc.input_ids),
-                     "enc_ids": jnp.asarray(enc_ids), "dec_ids": jnp.asarray(dec_ids),
-                     "text_mask": jnp.asarray(enc.attention_mask)}
+            batch = {"video": np.asarray(video), "text_ids": enc.input_ids,
+                     "enc_ids": enc_ids, "dec_ids": dec_ids,
+                     "text_mask": enc.attention_mask}
+            batch = shard_batch(mesh, batch) if mesh is not None else \
+                {k: jnp.asarray(v) for k, v in batch.items()}
             state, metrics = step_fn(state, batch, alpha,
                                      jax.random.fold_in(jax.random.PRNGKey(args.seed), step_idx))
             logger.update(loss_ita=float(metrics["loss_ita"]), loss_itm=float(metrics["loss_itm"]),

@@ -207,3 +207,107 @@ def test_train_retrieval_resume(workdir):
     log = [json.loads(l) for l in open(os.path.join(out_dir2, "log.txt"))]
     # only epoch 1 ran (epoch 0 restored from the checkpoint)
     assert [l["epoch"] for l in log] == [1]
+
+def test_train_retrieval_spmd_mesh(workdir):
+    """data_parallel/model_parallel config keys train over a local mesh."""
+    import train_retrieval_video as cli
+
+    root = workdir.root
+    config = dict(
+        dataset="msrvtt",
+        train_video_root=str(workdir.videos),
+        train_ann_jsonl=str(root / "train.jsonl"),
+        eval_video_root=str(workdir.videos),
+        val_ann_jsonl=str(root / "val.jsonl"),
+        test_ann_jsonl=str(root / "test.jsonl"),
+        num_frm_train=2, num_frm_test=2, frm_sampling_strategy="uniform",
+        height=None, width=None, start_time=None, end_time=None, fps=-1,
+        video_representation="concat_frame",
+        pretrained="", bert_vocab=workdir.vocab,
+        vit="tiny", vit_config=VIT_KW, med_config=workdir.med,
+        batch_size_train=4, batch_size_test=2, init_lr=1e-5,
+        image_size=IMAGE_SIZE, queue_size=16, alpha=0.4, k_test=3,
+        negative_all_rank=True, weight_decay=0.05, min_lr=0, max_epoch=1,
+        data_parallel=2, model_parallel=2,
+    )
+    out_dir = str(root / "ret_out_spmd")
+    os.makedirs(out_dir, exist_ok=True)
+    args = types.SimpleNamespace(output_dir=out_dir, evaluate=False, seed=42,
+                                 world_size=1, dist_url="env://",
+                                 distributed=False, device="cpu")
+    cli.main(args, config)
+    log = [json.loads(l) for l in open(os.path.join(out_dir, "log.txt"))]
+    assert "val_r_mean" in log[-1] and 0 <= log[-1]["val_r_mean"] <= 100
+
+@pytest.fixture(scope="module")
+def qa_jsonl(workdir):
+    root = workdir.root
+    path = root / "qa.jsonl"
+    with open(path, "w") as f:
+        k = 0
+        for vi in range(4):
+            f.write(json.dumps({"video_id": f"video{vi}", "question": f"what is video {vi}?",
+                                "answer": "a test", "question_id": k}) + "\n")
+            k += 1
+    return str(path)
+
+
+def test_train_vqa_cli_spmd(workdir, qa_jsonl):
+    """VQA trainer end-to-end with an SPMD mesh (ragged answers replicated,
+    dp-divisible tensors sharded)."""
+    import train_vqa_video as cli
+
+    root = workdir.root
+    config = dict(
+        video_root=str(workdir.videos), video_fmt=".mp4",
+        train_ann_jsonl=qa_jsonl, test_ann_jsonl=qa_jsonl,
+        num_frm_train=2, num_frm_test=2, frm_sampling_strategy="uniform",
+        height=None, width=None, start_time=None, end_time=None, fps=-1,
+        pretrained="", bert_vocab=workdir.vocab,
+        vit="tiny", vit_config=VIT_KW, med_config=workdir.med,
+        batch_size_train=4, batch_size_test=2, init_lr=1e-5,
+        image_size=IMAGE_SIZE, weight_decay=0.05, min_lr=0, max_epoch=1,
+        inference="generate", data_parallel=2, model_parallel=2,
+    )
+    out_dir = str(root / "vqa_out")
+    result_dir = os.path.join(out_dir, "result")
+    os.makedirs(result_dir, exist_ok=True)
+    args = types.SimpleNamespace(output_dir=out_dir, result_dir=result_dir,
+                                 evaluate=False, seed=42, world_size=1,
+                                 dist_url="env://", distributed=False, device="cpu")
+    cli.main(args, config)
+    results = json.load(open(os.path.join(result_dir, "vqa_result_epoch0.json")))
+    assert {r["question_id"] for r in results} == {0, 1, 2, 3}
+    assert all(isinstance(r["answer"], str) for r in results)
+    assert os.path.exists(os.path.join(out_dir, "checkpoint_last.npz"))
+
+
+def test_pretrain_cli_spmd(workdir):
+    """Pretrain trainer (ITA+ITM+LM, momentum, queue) end-to-end on a mesh."""
+    import pretrain_video as cli
+
+    root = workdir.root
+    config = dict(
+        dataset="pretrain",
+        train_video_root=str(workdir.videos),
+        train_ann_jsonl=str(root / "train.jsonl"),
+        num_frm_train=2, frm_sampling_strategy="uniform",
+        height=None, width=None, start_time=None, end_time=None, fps=-1,
+        video_representation="concat_frame",
+        bert_vocab=workdir.vocab,
+        vit="tiny", vit_config=VIT_KW, med_config=workdir.med,
+        batch_size=4, init_lr=1e-5, warmup_lr=1e-6, warmup_steps=1,
+        lr_decay_rate=0.9, queue_size=16, alpha=0.4,
+        image_size=IMAGE_SIZE, weight_decay=0.05, min_lr=1e-6, max_epoch=1,
+        data_parallel=2, model_parallel=2,
+    )
+    out_dir = str(root / "pretrain_out")
+    os.makedirs(out_dir, exist_ok=True)
+    args = types.SimpleNamespace(output_dir=out_dir, evaluate=False, seed=42,
+                                 world_size=1, dist_url="env://",
+                                 distributed=False, device="cpu")
+    cli.main(args, config)
+    log = [json.loads(l) for l in open(os.path.join(out_dir, "log.txt"))]
+    assert all(np.isfinite(log[-1][k]) for k in ("loss_ita", "loss_itm", "loss_lm"))
+    assert os.path.exists(os.path.join(out_dir, "checkpoint_00.npz"))
+    assert os.path.exists(os.path.join(out_dir, "checkpoint_last.npz"))

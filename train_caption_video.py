@@ -159,6 +159,16 @@ def main(args, config):
         start_epoch = (ck_meta or {}).get("epoch", -1) + 1
         print(f"resumed full train state from {resume_path} at epoch {start_epoch}")
 
+    # SPMD over local chips (data_parallel / model_parallel config keys)
+    from vidil_tpu.parallel import shard_params
+    from vidil_tpu.parallel.mesh import mesh_from_config, shard_batch
+
+    mesh = mesh_from_config(config)
+    if mesh is not None:
+        print(f"training over mesh {dict(mesh.shape)}")
+        assert config["train_batch_size"] % mesh.shape["data"] == 0
+        state = state._replace(params=shard_params(state.params, mesh))
+
     best, best_epoch = 0.0, 0
     for epoch in range(start_epoch, config["max_epoch"]):
         if not args.evaluate:
@@ -171,8 +181,10 @@ def main(args, config):
                 ids, mask = tokenize_captions(tokenizer, list(captions))
                 if single_frame:
                     video = select_frames(video, ids, mask)
-                batch = {"video": jnp.asarray(video), "input_ids": jnp.asarray(ids),
-                         "attention_mask": jnp.asarray(mask)}
+                batch = {"video": np.asarray(video), "input_ids": ids,
+                         "attention_mask": mask}
+                batch = shard_batch(mesh, batch) if mesh is not None else \
+                    {k: jnp.asarray(v) for k, v in batch.items()}
                 state, metrics = train_step(state, batch)
                 logger.update(loss=float(metrics["loss"]), lr=lr)
             train_stats = {k: f"{m.global_avg:.3f}" for k, m in logger.meters.items()}

@@ -97,6 +97,19 @@ def main(args, config):
         start_epoch = (ck_meta or {}).get("epoch", -1) + 1
         print(f"resumed full train state from {resume_path} at epoch {start_epoch}")
 
+    # SPMD over local chips: dp batch sharding + optional tp param sharding
+    # (config keys data_parallel / model_parallel; the reference's NCCL DDP
+    # one-process-per-GPU becomes one jitted program over the mesh)
+    from vidil_tpu.parallel import shard_params
+    from vidil_tpu.parallel.mesh import mesh_from_config, shard_batch
+
+    mesh = mesh_from_config(config)
+    if mesh is not None:
+        print(f"training over mesh {dict(mesh.shape)}")
+        assert B % mesh.shape["data"] == 0, "batch_size_train must divide the data axis"
+        state = state._replace(params=shard_params(state.params, mesh),
+                               params_m=shard_params(state.params_m, mesh))
+
     def tokenize(captions):
         enc = tokenizer(captions, padding="max_length", truncation=True, max_length=35)
         enc_ids = enc.input_ids.copy()
@@ -130,9 +143,11 @@ def main(args, config):
                 else:
                     alpha = config["alpha"] * min(1.0, i / n_steps_per_epoch)
                 ids, enc_ids, mask = tokenize(list(captions))
-                batch = {"video": jnp.asarray(video), "text_ids": jnp.asarray(ids),
-                         "enc_ids": jnp.asarray(enc_ids), "text_mask": jnp.asarray(mask),
-                         "idx": jnp.asarray(np.asarray(idx, np.int32))}
+                batch = {"video": np.asarray(video), "text_ids": ids,
+                         "enc_ids": enc_ids, "text_mask": mask,
+                         "idx": np.asarray(idx, np.int32)}
+                batch = shard_batch(mesh, batch) if mesh is not None else \
+                    {k: jnp.asarray(v) for k, v in batch.items()}
                 state, metrics = train_step(state, batch, alpha,
                                             jax.random.fold_in(jax.random.PRNGKey(args.seed), int(state.step)))
                 logger.update(loss_ita=float(metrics["loss_ita"]),

@@ -81,6 +81,18 @@ def main(args, config):
         start_epoch = (ck_meta or {}).get("epoch", -1) + 1
         print(f"resumed full train state from {resume_path} at epoch {start_epoch}")
 
+    # SPMD over local chips (data_parallel / model_parallel config keys).
+    # Only 'video'/'question_*' batch entries have the dp-divisible batch
+    # dim; answers are ragged (answer_question_index), so shard_batch's
+    # divisibility fallback replicates them.
+    from vidil_tpu.parallel import shard_params
+    from vidil_tpu.parallel.mesh import batch_put, mesh_from_config
+
+    mesh = mesh_from_config(config)
+    if mesh is not None:
+        print(f"training over mesh {dict(mesh.shape)}")
+        state = state._replace(params=shard_params(state.params, mesh))
+
     for epoch in range(start_epoch, config["max_epoch"]):
         if not args.evaluate:
             train_loader.set_epoch(epoch)
@@ -95,12 +107,15 @@ def main(args, config):
                 a_ids[:, 0] = tokenizer.bos_token_id
                 aq_index = np.repeat(np.arange(len(n)), n).astype(np.int32)
                 batch = {
-                    "video": jnp.asarray(videos),
-                    "question_ids": jnp.asarray(q_ids), "question_mask": jnp.asarray(q_mask),
-                    "answer_ids": jnp.asarray(a_ids), "answer_mask": jnp.asarray(a_enc.attention_mask),
-                    "answer_question_index": jnp.asarray(aq_index),
-                    "weights": jnp.asarray(weights),
+                    "video": np.asarray(videos),
+                    "question_ids": q_ids, "question_mask": q_mask,
+                    "answer_ids": a_ids, "answer_mask": a_enc.attention_mask,
+                    "answer_question_index": aq_index,
+                    "weights": np.asarray(weights),
                 }
+                batch = ({k: batch_put(mesh, np.asarray(v)) for k, v in batch.items()}
+                         if mesh is not None else
+                         {k: jnp.asarray(v) for k, v in batch.items()})
                 state, metrics = train_step(state, batch)
                 logger.update(loss=float(metrics["loss"]), lr=lr)
 

@@ -46,6 +46,28 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def mesh_from_config(config: dict, devices=None) -> Mesh | None:
+    """Build a ('data','model') mesh from trainer config keys.
+
+    ``data_parallel``: data-axis size (0/absent = all remaining devices
+    when model_parallel is set, else no mesh). ``model_parallel``: tensor
+    axis size (default 1). Returns None when the product is 1 device —
+    plain single-device jit.
+    """
+    devices = jax.local_devices() if devices is None else devices
+    dp = int(config.get("data_parallel", 0) or 0)
+    tp = int(config.get("model_parallel", 1) or 1)
+    if dp == 0:
+        if tp == 1:
+            return None
+        dp = max(1, len(devices) // tp)
+    if dp * tp <= 1:
+        return None
+    assert dp * tp <= len(devices), (
+        f"mesh {dp}x{tp} needs {dp * tp} devices, have {len(devices)}")
+    return make_mesh(data=dp, model=tp, devices=devices[: dp * tp])
+
+
 def batch_put(mesh: Mesh, x):
     """Place one array on the mesh: dim 0 sharded over 'data' when it
     divides evenly, replicated otherwise (inference engines use this so
