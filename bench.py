@@ -96,10 +96,13 @@ def main():
 
     rng = np.random.RandomState(0)
     frames = rng.randint(0, 256, size=(VIDEOS_PER_BATCH * NUM_FRM, IMAGE_SIZE, IMAGE_SIZE, 3)).astype(np.uint8)
-    chunk = [
-        {"video_id": f"v{i}", "frames": frames[i * NUM_FRM:(i + 1) * NUM_FRM], "text": []}
-        for i in range(VIDEOS_PER_BATCH)
-    ]
+
+    def make_chunk(dev_frames):
+        return [
+            {"video_id": f"v{i}", "frames": dev_frames[i * NUM_FRM:(i + 1) * NUM_FRM], "text": []}
+            for i in range(VIDEOS_PER_BATCH)
+        ]
+
     config = dict(caption=True, filter=True, filter_generated_only=True,
                   keep_original_caption=False, threshold=0.4,
                   filter_mode="max_filter", generation_mode="beam",
@@ -107,13 +110,30 @@ def main():
 
     # warmup (compile)
     t = time.time()
-    engine.run_chunk(chunk, config, rng=jax.random.PRNGKey(0))
+    engine.run_chunk(make_chunk(frames), config, rng=jax.random.PRNGKey(0))
     log(f"warmup (compile): {time.time()-t:.1f}s")
 
+    # Pipelined steady state, as the CapFilt CLI runs it: the NEXT batch's
+    # host->device transfer happens in a background thread while the current
+    # batch computes (run_video_CapFilt.py decode-prefetch threads). On the
+    # tunneled dev chip the upload is ~70% of a serial iteration; on a real
+    # TPU host it is negligible either way.
+    import threading
+
+    bufs: dict[int, object] = {}
+
+    def upload(i):
+        # vary content per iter so no transfer/compute layer can cache
+        bufs[i] = jax.device_put(frames + np.uint8(i % 7))
+
+    upload(0)
     iter_times = []
     for it in range(ITERS):
         t0 = time.perf_counter()
-        engine.run_chunk(chunk, config, rng=jax.random.PRNGKey(0))
+        th = threading.Thread(target=upload, args=(it + 1,))
+        th.start()
+        engine.run_chunk(make_chunk(bufs.pop(it)), config, rng=jax.random.PRNGKey(it))
+        th.join()
         iter_times.append(time.perf_counter() - t0)
         log(f"iter {it}: {iter_times[-1]:.2f}s")
 
@@ -125,7 +145,7 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FRAMES_PER_SEC_A100_ESTIMATE, 3),
-        "config": f"BLIP-base {IMAGE_SIZE}px, {NUM_FRM} frm/video, beam=3 len 5-20, ITM max_filter, bf16, batch={VIDEOS_PER_BATCH} videos",
+        "config": f"BLIP-base {IMAGE_SIZE}px, {NUM_FRM} frm/video, beam=3 len 5-20, ITM max_filter, bf16, batch={VIDEOS_PER_BATCH} videos, grouped-KV decode, pipelined upload",
         "baseline_note": f"reference publishes no throughput; baseline = estimated A100 per-video-loop rate {BASELINE_FRAMES_PER_SEC_A100_ESTIMATE} frames/s",
         "device": str(jax.devices()[0]),
     }))
