@@ -118,7 +118,7 @@ def main(args, config):
 
     def run_eval(dataset):
         evaluator = RetrievalEvaluator(state.params, vit_cfg, med_cfg, tokenizer,
-                                       k_test=config["k_test"])
+                                       k_test=config["k_test"], mesh=mesh)
         text_embeds, text_ids, text_atts = evaluator.compute_text_features(dataset.text)
         loader = PrefetchLoader(dataset, config["batch_size_test"])
         video_feats, video_embeds = evaluator.compute_video_features(

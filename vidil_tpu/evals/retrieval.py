@@ -23,7 +23,15 @@ from vidil_tpu.utils import get_rank, get_world_size, shard_range
 
 class RetrievalEvaluator:
     def __init__(self, params, vit_cfg: ViTConfig, med_cfg: MedConfig, tokenizer,
-                 k_test: int = 64, dtype=jnp.bfloat16, rows_per_batch: int = 8):
+                 k_test: int = 64, dtype=jnp.bfloat16, rows_per_batch: int = 8,
+                 mesh=None):
+        # mesh: optional ('data',...) Mesh — params replicated, batch inputs
+        # sharded over 'data', one SPMD program over all local chips
+        self.mesh = mesh
+        if mesh is not None:
+            from vidil_tpu.parallel.mesh import replicated
+
+            params = jax.device_put(params, replicated(mesh))
         self.params = params
         self.vit_cfg = vit_cfg
         self.med_cfg = med_cfg
@@ -60,14 +68,21 @@ class RetrievalEvaluator:
         self._video_side = lambda video: _video_side(self.params, video)
         self._itm = lambda *a: _itm(self.params, *a)
 
+    def _put(self, x):
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from vidil_tpu.parallel.mesh import batch_put
+
+        return batch_put(self.mesh, np.asarray(x))
+
     def compute_text_features(self, texts: list[str], batch_size: int = 256):
         """reference :93-112 (text_bs=256, [ENC] substituted after encoding)."""
         embeds, ids, atts = [], [], []
         for i in range(0, len(texts), batch_size):
             enc = self.tok(texts[i : i + batch_size], padding="max_length",
                            truncation=True, max_length=35)
-            embeds.append(np.asarray(self._text_side(jnp.asarray(enc.input_ids),
-                                                     jnp.asarray(enc.attention_mask))))
+            embeds.append(np.asarray(self._text_side(self._put(enc.input_ids),
+                                                     self._put(enc.attention_mask))))
             ids.append(enc.input_ids)
             atts.append(enc.attention_mask)
         text_ids = np.concatenate(ids)
@@ -78,7 +93,7 @@ class RetrievalEvaluator:
         """video_batches: iterable of (B, N, S, S, C) normalized arrays."""
         feats, embeds = [], []
         for video in video_batches:
-            f, e = self._video_side(jnp.asarray(video))
+            f, e = self._video_side(self._put(video))
             feats.append(np.asarray(f))
             embeds.append(np.asarray(e))
         return np.concatenate(feats), np.concatenate(embeds)
@@ -100,7 +115,7 @@ class RetrievalEvaluator:
             rows_arr = np.asarray(rows)
             topk_idx = np.argsort(sims[rows_arr], axis=1)[:, ::-1][:, :k]  # (R, k)
             img, ids, mask = make_block(rows_arr, topk_idx)
-            itm = np.asarray(self._itm(jnp.asarray(img), jnp.asarray(ids), jnp.asarray(mask)))
+            itm = np.asarray(self._itm(self._put(img), self._put(ids), self._put(mask)))
             itm = itm.reshape(R, k)
             for j in range(real):
                 i = rows[j]
