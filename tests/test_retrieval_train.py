@@ -172,3 +172,19 @@ def test_load_train_state_shape_mismatch(tmp_path):
         load_train_state(str(tmp_path / "ck"), {"a": np.zeros((3, 2))})
     with pytest.raises(ValueError, match="leaves"):
         load_train_state(str(tmp_path / "ck"), {"a": np.zeros((2, 3)), "b": np.zeros(1)})
+
+
+def test_mesh_from_config():
+    from vidil_tpu.parallel.mesh import mesh_from_config
+
+    devs = jax.devices()[:8]
+    assert mesh_from_config({}, devs) is None
+    assert mesh_from_config({"data_parallel": 1, "model_parallel": 1}, devs) is None
+    m = mesh_from_config({"data_parallel": 4}, devs)
+    assert dict(m.shape) == {"data": 4, "model": 1}
+    m = mesh_from_config({"model_parallel": 2}, devs)  # dp fills remaining
+    assert dict(m.shape) == {"data": 4, "model": 2}
+    m = mesh_from_config({"data_parallel": 2, "model_parallel": 2}, devs)
+    assert dict(m.shape) == {"data": 2, "model": 2}
+    with pytest.raises(AssertionError):
+        mesh_from_config({"data_parallel": 16}, devs)
