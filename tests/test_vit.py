@@ -165,3 +165,57 @@ def test_vit_remat_matches_and_grads():
 
     g = jax.jit(jax.grad(loss))(params)
     assert np.isfinite(float(jnp.sum(jnp.abs(g["patch_embed"]["kernel"]))))
+
+
+def test_load_vit_flax_npz_matches_torch_convert(tmp_path):
+    """The Flax-npz loader and the torch converter must agree: export the
+    same torch weights into the google vision_transformer npz layout (the
+    timm flax<->torch relation, written independently here) and compare."""
+    import io
+
+    from vidil_tpu.models.convert import convert_vit, load_vit_flax_npz
+
+    cfg = CFG
+    sd = make_torch_state_dict(cfg)
+    ref = convert_vit({k: v.numpy() for k, v in sd.items()}, cfg)
+
+    D = cfg.hidden_size
+    H, dh = cfg.num_heads, cfg.hidden_size // cfg.num_heads
+    z = {}
+    conv = sd["visual_encoder.patch_embed.proj.weight"].numpy()  # (D, C, P, P)
+    z["embedding/kernel"] = conv.transpose(2, 3, 1, 0)  # (ph, pw, c, D)
+    z["embedding/bias"] = sd["visual_encoder.patch_embed.proj.bias"].numpy()
+    z["cls"] = sd["visual_encoder.cls_token"].numpy()
+    z["Transformer/posembed_input/pos_embedding"] = sd["visual_encoder.pos_embed"].numpy()
+    for i in range(cfg.num_layers):
+        b = f"visual_encoder.blocks.{i}."
+        f = f"Transformer/encoderblock_{i}/"
+        z[f + "LayerNorm_0/scale"] = sd[b + "norm1.weight"].numpy()
+        z[f + "LayerNorm_0/bias"] = sd[b + "norm1.bias"].numpy()
+        qkv_w = sd[b + "attn.qkv.weight"].numpy()  # (3D, D) torch rows=out
+        qkv_b = sd[b + "attn.qkv.bias"].numpy()
+        for j, n in enumerate(("query", "key", "value")):
+            a = f + f"MultiHeadDotProductAttention_1/{n}/"
+            z[a + "kernel"] = qkv_w[j * D:(j + 1) * D].T.reshape(D, H, dh)
+            z[a + "bias"] = qkv_b[j * D:(j + 1) * D].reshape(H, dh)
+        z[f + "MultiHeadDotProductAttention_1/out/kernel"] = (
+            sd[b + "attn.proj.weight"].numpy().T.reshape(H, dh, D))
+        z[f + "MultiHeadDotProductAttention_1/out/bias"] = sd[b + "attn.proj.bias"].numpy()
+        z[f + "LayerNorm_2/scale"] = sd[b + "norm2.weight"].numpy()
+        z[f + "LayerNorm_2/bias"] = sd[b + "norm2.bias"].numpy()
+        z[f + "MlpBlock_3/Dense_0/kernel"] = sd[b + "mlp.fc1.weight"].numpy().T
+        z[f + "MlpBlock_3/Dense_0/bias"] = sd[b + "mlp.fc1.bias"].numpy()
+        z[f + "MlpBlock_3/Dense_1/kernel"] = sd[b + "mlp.fc2.weight"].numpy().T
+        z[f + "MlpBlock_3/Dense_1/bias"] = sd[b + "mlp.fc2.bias"].numpy()
+    z["Transformer/encoder_norm/scale"] = sd["visual_encoder.norm.weight"].numpy()
+    z["Transformer/encoder_norm/bias"] = sd["visual_encoder.norm.bias"].numpy()
+
+    path = str(tmp_path / "vit.npz")
+    np.savez(path, **z)
+    got = load_vit_flax_npz(path, cfg)
+    for (ka, a), (kb, b) in zip(
+        sorted(jax.tree_util.tree_flatten_with_path(ref)[0], key=lambda t: str(t[0])),
+        sorted(jax.tree_util.tree_flatten_with_path(got)[0], key=lambda t: str(t[0])),
+    ):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, err_msg=str(ka))

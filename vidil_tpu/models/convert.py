@@ -78,6 +78,63 @@ def convert_vit(sd: dict, cfg: ViTConfig, prefix: str = "visual_encoder.") -> di
     return params
 
 
+def load_vit_flax_npz(path, cfg: ViTConfig) -> dict:
+    """Load a Google vision_transformer Flax ``.npz`` checkpoint
+    (augreg/original ViT release layout) into our ViT pytree.
+
+    Parity with the reference's npz path (reference: models/vit.py:201-278,
+    timm-style `_load_weights`): fused qkv from separate q/k/v kernels,
+    (ph,pw,c,D) conv kernel flattened to our patchify ordering, pos-embed
+    bicubic interpolation on grid-size mismatch.
+    """
+    z = np.load(path) if isinstance(path, str) else path
+    D = int(z["embedding/bias"].shape[0])
+
+    def ln(pfx):
+        return {"scale": jnp.asarray(z[pfx + "/scale"]), "bias": jnp.asarray(z[pfx + "/bias"])}
+
+    blocks = []
+    for i in range(cfg.num_layers):
+        b = f"Transformer/encoderblock_{i}/"
+        a = b + "MultiHeadDotProductAttention_1/"
+        # (D, H, dh) per head -> (D, D); fused qkv kernel is (D, 3D)
+        qkv_k = np.concatenate([np.asarray(z[a + f"{n}/kernel"]).reshape(D, D)
+                                for n in ("query", "key", "value")], axis=1)
+        qkv_b = np.concatenate([np.asarray(z[a + f"{n}/bias"]).reshape(D)
+                                for n in ("query", "key", "value")])
+        blocks.append({
+            "norm1": ln(b + "LayerNorm_0"),
+            "attn": {
+                "qkv": {"kernel": jnp.asarray(qkv_k), "bias": jnp.asarray(qkv_b)},
+                "proj": {"kernel": jnp.asarray(np.asarray(z[a + "out/kernel"]).reshape(D, D)),
+                         "bias": jnp.asarray(z[a + "out/bias"])},
+            },
+            "norm2": ln(b + "LayerNorm_2"),
+            "mlp": {
+                "fc1": {"kernel": jnp.asarray(z[b + "MlpBlock_3/Dense_0/kernel"]),
+                        "bias": jnp.asarray(z[b + "MlpBlock_3/Dense_0/bias"])},
+                "fc2": {"kernel": jnp.asarray(z[b + "MlpBlock_3/Dense_1/kernel"]),
+                        "bias": jnp.asarray(z[b + "MlpBlock_3/Dense_1/bias"])},
+            },
+        })
+    pos_embed = jnp.asarray(z["Transformer/posembed_input/pos_embedding"])
+    params = {
+        # flax conv kernel (ph, pw, c, D) flattens directly to our
+        # patchify (ph, pw, c) ordering
+        "patch_embed": {"kernel": jnp.asarray(np.asarray(z["embedding/kernel"]).reshape(-1, D)),
+                        "bias": jnp.asarray(z["embedding/bias"])},
+        "cls_token": jnp.asarray(np.asarray(z["cls"]).reshape(1, 1, D)),
+        "pos_embed": pos_embed,
+        "blocks": _stack(blocks),
+        "norm": ln("Transformer/encoder_norm"),
+    }
+    if pos_embed.shape[1] != cfg.seq_len:
+        from vidil_tpu.models.vit import interpolate_pos_embed
+
+        params["pos_embed"] = interpolate_pos_embed(pos_embed, cfg.num_patches)
+    return params
+
+
 # ---------------------------------------------------------------------------
 # MED / BERT  (torch keys: text_decoder.bert.*, text_encoder.*, or HF bert.*)
 # ---------------------------------------------------------------------------
