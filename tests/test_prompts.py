@@ -230,3 +230,36 @@ def test_clean_text_parity(text):
     ref_gpt3 = load_ref_module(REF_GPT3, "ref_gpt3")
     assert clean_text(text) == ref_gpt3.clean_text(text)
     assert clean_text(text, True) == ref_gpt3.clean_text(text, True)
+
+
+def test_fixed_prefix_cli_subprocess(tmp_path):
+    """The root generate_prompts_fixed_prefix.py CLI end-to-end (argparse
+    wiring, file IO contract)."""
+    import subprocess
+    import sys
+
+    vt_dir = tmp_path / "vt"
+    fc_dir = tmp_path / "fc"
+    out_dir = tmp_path / "out"
+    vt_dir.mkdir(); fc_dir.mkdir()
+    visual_tokens = {v: make_visual_tokens(seed=i) for i, v in enumerate(["vidA", "vidB"])}
+    json.dump(visual_tokens, open(vt_dir / "visual_tokens.json", "w"))
+    json.dump(FRAME_CAPTIONS, open(fc_dir / "video_text_CapFilt.json", "w"))
+    json.dump(FRAME_CAPTIONS, open(fc_dir / "video_text_Cap.json", "w"))
+    prefix = tmp_path / "prefix.txt"
+    prefix.write_text("Instruction: describe the video.\n")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "generate_prompts_fixed_prefix.py"),
+         "--visual_tokens_dir", str(vt_dir), "--frame_captions_dir", str(fc_dir),
+         "--output_dir", str(out_dir), "--prompt_prefix", str(prefix),
+         "--prompt_task", "caption"],
+        capture_output=True, text=True, env=env, timeout=240)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [json.loads(l) for l in open(out_dir / "temp_0.0_gpt3_queries.jsonl")]
+    assert len(lines) == 2
+    assert all(l["prompt"].startswith("Instruction: describe the video.") for l in lines)
+    idx = json.load(open(out_dir / "temp_0.0_gpt3_queries__idx_2_videoid.json"))
+    assert set(idx.values()) == {"vidA", "vidB"}
