@@ -126,3 +126,69 @@ def test_make_sbert_encoder_local_dir(tmp_path, hf_mpnet):
     np.testing.assert_allclose(got, ref, atol=2e-2)  # bf16 matmuls
     # cosine agreement must be essentially exact
     assert float((got * ref).sum(-1).min()) > 0.999
+
+
+def test_in_context_selection_cli_with_local_sbert(tmp_path, hf_mpnet):
+    """Drive generate_prompts_random_prefix_in_context_selection.py as a
+    subprocess with --sbert_model pointing at a LOCAL MPNet snapshot —
+    the full TPU-native in-context-selection chain."""
+    import json as J
+    import os
+    import random
+    import subprocess
+    import sys
+
+    # local MPNet snapshot
+    snap = tmp_path / "mpnet"
+    snap.mkdir()
+    _write_mpnet_vocab(str(snap / "vocab.txt"))
+    J.dump({"vocab_size": CFG.vocab_size, "hidden_size": CFG.hidden_size,
+            "num_hidden_layers": CFG.num_layers,
+            "num_attention_heads": CFG.num_heads,
+            "intermediate_size": CFG.intermediate_size,
+            "max_position_embeddings": CFG.max_position_embeddings},
+           open(snap / "config.json", "w"))
+    torch.save(hf_mpnet.state_dict(), str(snap / "pytorch_model.bin"))
+
+    def make_vt(seed):
+        rng = random.Random(seed)
+        fts = [{"objects": rng.sample(["dog", "cat", "ball"], 2),
+                "attributes": rng.sample(["red", "big"], 2),
+                "scenes": ["park"], "verbs": rng.sample(["running", "sitting"], 2)}
+               for _ in range(3)]
+        return {"frame_tokens": fts, "caption": [f"a video of cats {seed}"]}
+
+    def write_stage(d, vids):
+        d.mkdir()
+        J.dump({v: make_vt(i) for i, v in enumerate(vids)}, open(d / "visual_tokens.json", "w"))
+        caps = {v: [f"the dog running {v}"] for v in vids}
+        J.dump(caps, open(d / "video_text_CapFilt.json", "w"))
+        J.dump(caps, open(d / "video_text_Cap.json", "w"))
+
+    write_stage(tmp_path / "test_stage", ["q1", "q2"])
+    write_stage(tmp_path / "train_stage", ["t1", "t2", "t3"])
+    J.dump({v: [] for v in ["t1", "t2", "t3"]}, open(tmp_path / "train_ann.json", "w"))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo)
+    out_dir = tmp_path / "out"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "generate_prompts_random_prefix_in_context_selection.py"),
+         "--prompt_task", "caption",
+         "--visual_tokens_dir", str(tmp_path / "test_stage"),
+         "--frame_captions_dir", str(tmp_path / "test_stage"),
+         "--train_dataset_visual_tokens_dir", str(tmp_path / "train_stage"),
+         "--train_dataset_frame_captions_dir", str(tmp_path / "train_stage"),
+         "--trainset_json_ann", str(tmp_path / "train_ann.json"),
+         "--output_dir", str(out_dir),
+         "--instruction_line", "Instruction: describe.",
+         "--shot", "2", "--N", "1", "--comparing_target", "caption",
+         "--sbert_model", str(snap)],
+        capture_output=True, text=True, env=env, timeout=480)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    lines = [J.loads(l) for l in open(out_dir / "temp_0.0_gpt3_queries.jsonl")]
+    assert len(lines) == 2
+    # each prompt = instruction + 1 selected in-context example + query
+    assert all(l["prompt"].startswith("Instruction: describe.") for l in lines)
+    idx = J.load(open(out_dir / "temp_0.0_gpt3_queries__idx_2_videoid.json"))
+    assert set(idx.values()) == {"q1", "q2"}
