@@ -263,3 +263,72 @@ def test_fixed_prefix_cli_subprocess(tmp_path):
     assert all(l["prompt"].startswith("Instruction: describe the video.") for l in lines)
     idx = json.load(open(out_dir / "temp_0.0_gpt3_queries__idx_2_videoid.json"))
     assert set(idx.values()) == {"vidA", "vidB"}
+
+
+def _run_cli(script, args_list, timeout=240):
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo)
+    proc = subprocess.run([sys.executable, os.path.join(repo, script)] + args_list,
+                          capture_output=True, text=True, env=env, timeout=timeout)
+    assert proc.returncode == 0, f"{script}: {proc.stderr[-3000:]}"
+    return proc
+
+
+def _write_stage(d, vids):
+    d.mkdir()
+    json.dump({v: make_visual_tokens(seed=i) for i, v in enumerate(vids)},
+              open(d / "visual_tokens.json", "w"))
+    caps = {v: [f"frame caption for {v}"] for v in vids}
+    json.dump(caps, open(d / "video_text_CapFilt.json", "w"))
+    json.dump(caps, open(d / "video_text_Cap.json", "w"))
+
+
+def test_random_prefix_cli_subprocess(tmp_path):
+    test_stage, train_stage = tmp_path / "test_stage", tmp_path / "train_stage"
+    _write_stage(test_stage, ["q1", "q2"])
+    _write_stage(train_stage, ["t1", "t2", "t3"])
+    json.dump({v: [] for v in ["t1", "t2", "t3"]}, open(tmp_path / "ann.json", "w"))
+    out_dir = tmp_path / "out"
+    _run_cli("generate_prompts_random_prefix.py", [
+        "--prompt_task", "caption",
+        "--visual_tokens_dir", str(test_stage), "--frame_captions_dir", str(test_stage),
+        "--train_dataset_visual_tokens_dir", str(train_stage),
+        "--train_dataset_frame_captions_dir", str(train_stage),
+        "--trainset_json_ann", str(tmp_path / "ann.json"),
+        "--output_dir", str(out_dir),
+        "--instruction_line", "Instruction: caption it.",
+        "--shot", "2", "--seed", "42"])
+    lines = [json.loads(l) for l in open(out_dir / "temp_0.0_gpt3_queries.jsonl")]
+    assert len(lines) == 2
+    assert all(l["prompt"].startswith("Instruction: caption it.") for l in lines)
+
+
+def test_vlep_multichoice_cli_subprocess(tmp_path):
+    test_stage, train_stage = tmp_path / "test_stage", tmp_path / "train_stage"
+    _write_stage(test_stage, ["v1", "v2"])
+    _write_stage(train_stage, ["t1", "t2", "t3"])
+    train_ann = {f"ex{i}": {"video_id": f"t{i+1}", "events": ["one thing", "another"],
+                            "answer": "one thing"} for i in range(3)}
+    target_ann = {"q0": {"video_id": "v1", "events": ["a", "b"]},
+                  "q1": {"video_id": "v2", "events": ["c", "d"]}}
+    json.dump(train_ann, open(tmp_path / "train_ann.json", "w"))
+    json.dump(target_ann, open(tmp_path / "target_ann.json", "w"))
+    out_dir = tmp_path / "out"
+    _run_cli("generate_prompts_random_prefix_vlep_multichoice.py", [
+        "--prompt_task", "vlep",
+        "--visual_tokens_dir", str(test_stage), "--frame_captions_dir", str(test_stage),
+        "--train_dataset_visual_tokens_dir", str(train_stage),
+        "--train_dataset_frame_captions_dir", str(train_stage),
+        "--trainset_json_ann", str(tmp_path / "train_ann.json"),
+        "--target_json_ann", str(tmp_path / "target_ann.json"),
+        "--output_dir", str(out_dir),
+        "--instruction_line", "Instruction: pick A or B.",
+        "--shot", "2", "--seed", "42"])
+    lines = [json.loads(l) for l in open(out_dir / "temp_0.0_gpt3_queries.jsonl")]
+    assert len(lines) == 2
+    assert all("A:" in l["prompt"] and "B:" in l["prompt"] for l in lines)
+    idx = json.load(open(out_dir / "temp_0.0_gpt3_queries__idx_2_example_id.json"))
+    assert set(idx.values()) == {"q0", "q1"}
