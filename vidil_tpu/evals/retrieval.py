@@ -59,14 +59,33 @@ class RetrievalEvaluator:
             video_feats = feats.reshape(Bv, N * feats.shape[1], feats.shape[2])
             return video_feats, emb.astype(jnp.float32)
 
+        # Both rerank directions keep ALL video features and text ids
+        # device-resident (uploaded once per eval); per block only tiny
+        # (R,) / (R, k) index arrays cross the host boundary and the
+        # k-fold expansion is an on-device gather/repeat. (A host-side
+        # np.repeat ships R*k full copies — gigabytes at k_test=64-128.)
         @jax.jit
-        def _itm(params, video_feats_pairs, ids, mask):
-            logits = B.blip_itm_scores(params, video_feats_pairs, ids, mask, med_cfg, dtype=dtype)
-            return logits[:, 1]
+        def _itm_v2t(params, video_feats, text_ids, text_atts, rows, topk):
+            R, k = topk.shape
+            img = jnp.repeat(video_feats[rows], k, axis=0)
+            flat = topk.reshape(-1)
+            logits = B.blip_itm_scores(params, img, text_ids[flat], text_atts[flat],
+                                       med_cfg, dtype=dtype)
+            return logits[:, 1].reshape(R, k)
+
+        @jax.jit
+        def _itm_t2v(params, video_feats, text_ids, text_atts, rows, topk):
+            R, k = topk.shape
+            img = video_feats[topk.reshape(-1)]
+            ids = jnp.repeat(text_ids[rows], k, axis=0)
+            mask = jnp.repeat(text_atts[rows], k, axis=0)
+            logits = B.blip_itm_scores(params, img, ids, mask, med_cfg, dtype=dtype)
+            return logits[:, 1].reshape(R, k)
 
         self._text_side = lambda ids, mask: _text_side(self.params, ids, mask)
         self._video_side = lambda video: _video_side(self.params, video)
-        self._itm = lambda *a: _itm(self.params, *a)
+        self._itm_v2t = lambda *a: _itm_v2t(self.params, *a)
+        self._itm_t2v = lambda *a: _itm_t2v(self.params, *a)
 
     def _put(self, x):
         if self.mesh is None:
@@ -98,10 +117,11 @@ class RetrievalEvaluator:
             embeds.append(np.asarray(e))
         return np.concatenate(feats), np.concatenate(embeds)
 
-    def _rerank_rows(self, sims, make_block):
+    def _rerank_rows(self, sims, itm_fn):
         """k_test rerank over this rank's row shard, R rows per jitted ITM
         call (the reference loops one row per device step,
-        train_retrieval_video.py:146-180)."""
+        train_retrieval_video.py:146-180). ``itm_fn(rows, topk) -> (R, k)``
+        runs on device-resident features."""
         n_rows, n_cols = sims.shape
         k = min(self.k_test, n_cols)
         R = max(1, self.rows_per_batch)
@@ -112,11 +132,9 @@ class RetrievalEvaluator:
             real = len(rows)
             while len(rows) < R:  # pad to keep one compiled shape
                 rows.append(rows[-1])
-            rows_arr = np.asarray(rows)
+            rows_arr = np.asarray(rows, np.int32)
             topk_idx = np.argsort(sims[rows_arr], axis=1)[:, ::-1][:, :k]  # (R, k)
-            img, ids, mask = make_block(rows_arr, topk_idx)
-            itm = np.asarray(self._itm(self._put(img), self._put(ids), self._put(mask)))
-            itm = itm.reshape(R, k)
+            itm = np.asarray(itm_fn(rows_arr, topk_idx.astype(np.int32)))
             for j in range(real):
                 i = rows[j]
                 scores[i, topk_idx[j]] = itm[j] + sims[i][topk_idx[j]]
@@ -125,25 +143,18 @@ class RetrievalEvaluator:
     def score_matrices(self, video_feats, video_embeds, text_embeds, text_ids, text_atts):
         """Full v2t / t2v score matrices (reference :135-186)."""
         sims = video_embeds @ text_embeds.T
-        k = min(self.k_test, sims.shape[1])
 
-        def block_v2t(rows, topk_idx):
-            img = np.repeat(video_feats[rows], k, axis=0)  # (R*k, Lk, D)
-            flat = topk_idx.reshape(-1)
-            return img, text_ids[flat], text_atts[flat]
+        # features + text ids live on device for the whole rerank
+        vf = self._put(np.asarray(video_feats))
+        tids = self._put(np.asarray(text_ids))
+        tatts = self._put(np.asarray(text_atts))
 
-        score_v2t = self._rerank_rows(sims, block_v2t)
-
-        sims_t = sims.T
-        k_t = min(self.k_test, sims_t.shape[1])
-
-        def block_t2v(rows, topk_idx):
-            img = video_feats[topk_idx.reshape(-1)]
-            ids = np.repeat(text_ids[rows], k_t, axis=0)
-            mask = np.repeat(text_atts[rows], k_t, axis=0)
-            return img, ids, mask
-
-        score_t2v = self._rerank_rows(sims_t, block_t2v)
+        score_v2t = self._rerank_rows(
+            sims, lambda rows, topk: self._itm_v2t(vf, tids, tatts,
+                                                   jnp.asarray(rows), jnp.asarray(topk)))
+        score_t2v = self._rerank_rows(
+            sims.T, lambda rows, topk: self._itm_t2v(vf, tids, tatts,
+                                                     jnp.asarray(rows), jnp.asarray(topk)))
 
         if get_world_size() > 1:
             from jax.experimental import multihost_utils

@@ -270,8 +270,13 @@ class BlipTokenizationEngine:
             return feats, emb
 
         @jax.jit
-        def _itm(params, image_feat_rep, ids, mask):
-            logits = BLIP.blip_itm_scores(params, image_feat_rep, ids, mask, med_cfg, dtype=dtype)
+        def _itm(params, image_feats, ids, mask):
+            """image_feats (R, P, D), ids/mask (R*k, L): the k-fold feature
+            expansion happens ON DEVICE — only (R, P, D) crosses the host
+            boundary (a host-side np.repeat would ship R*k copies)."""
+            k = ids.shape[0] // image_feats.shape[0]
+            img = jnp.repeat(image_feats, k, axis=0)
+            logits = BLIP.blip_itm_scores(params, img, ids, mask, med_cfg, dtype=dtype)
             return logits[:, 1]
 
         self._embed_texts = lambda ids, mask: _embed_texts(self.params, ids, mask)
@@ -324,9 +329,9 @@ class BlipTokenizationEngine:
         k = min(self.k_test, n_texts)
         topk_idx = np.argsort(sims_rows, axis=1)[:, ::-1][:, :k]  # (R, k)
         flat = topk_idx.reshape(-1)
-        img = np.repeat(image_feats, k, axis=0)  # (R*k, P, D)
         scores = np.asarray(self._itm(
-            self._put(img), self._put(text_ids[flat]), self._put(text_atts[flat])
+            self._put(np.asarray(image_feats)), self._put(text_ids[flat]),
+            self._put(text_atts[flat])
         )).reshape(R, k)
         out = np.full(sims_rows.shape, -100.0, np.float32)
         for r in range(R):
