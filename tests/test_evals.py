@@ -126,3 +126,63 @@ def test_itm_eval_perfect_and_random():
     rnd = np.random.RandomState(1).randn(n, n)
     m2 = itm_eval(rnd, rnd, list(range(n)), list(range(n)))
     assert m2["r_mean"] < metrics["r_mean"]
+
+
+def test_score_matrices_matches_bruteforce():
+    """RetrievalEvaluator's blocked on-device rerank must equal a
+    per-pair brute-force ITM computation."""
+    import jax
+    import jax.numpy as jnp
+
+    from vidil_tpu.config import MedConfig, ViTConfig
+    from vidil_tpu.evals.retrieval import RetrievalEvaluator
+    from vidil_tpu.models import blip as B
+    from vidil_tpu.models.blip import init_blip_itm
+
+    vit = ViTConfig(image_size=32, patch_size=16, hidden_size=32, num_layers=2, num_heads=4)
+    med = MedConfig(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                    intermediate_size=64, max_position_embeddings=64, encoder_width=32)
+    params = init_blip_itm(jax.random.PRNGKey(0), vit, med)
+
+    class FakeTok:
+        enc_token_id = 3
+
+        def __call__(self, texts, **kw):
+            raise NotImplementedError
+
+    ev = RetrievalEvaluator(params, vit, med, FakeTok(), k_test=3,
+                            rows_per_batch=2, dtype=None)
+
+    n_vid, n_txt, Lk, L = 5, 7, 10, 9
+    rng = np.random.RandomState(0)
+    video_feats = rng.randn(n_vid, Lk, 32).astype(np.float32) * 0.2
+    video_embeds = rng.randn(n_vid, 8).astype(np.float32)
+    text_embeds = rng.randn(n_txt, 8).astype(np.float32)
+    text_ids = rng.randint(4, 64, size=(n_txt, L)).astype(np.int32)
+    text_ids[:, 0] = 3
+    text_atts = np.ones((n_txt, L), np.int32)
+
+    v2t, t2v = ev.score_matrices(video_feats, video_embeds, text_embeds, text_ids, text_atts)
+
+    import jax.numpy as jnp
+
+    def itm_one(feat, ids, mask):
+        logits = B.blip_itm_scores(params, jnp.asarray(feat[None]), jnp.asarray(ids[None]),
+                                   jnp.asarray(mask[None]), med, dtype=None)
+        return float(logits[0, 1])
+
+    sims = video_embeds @ text_embeds.T
+    ref_v2t = np.full_like(sims, -100.0)
+    for i in range(n_vid):
+        topk = np.argsort(sims[i])[::-1][:3]
+        for j in topk:
+            ref_v2t[i, j] = itm_one(video_feats[i], text_ids[j], text_atts[j]) + sims[i, j]
+    np.testing.assert_allclose(v2t, ref_v2t, atol=2e-4)
+
+    sims_t = sims.T
+    ref_t2v = np.full_like(sims_t, -100.0)
+    for i in range(n_txt):
+        topk = np.argsort(sims_t[i])[::-1][:3]
+        for j in topk:
+            ref_t2v[i, j] = itm_one(video_feats[j], text_ids[i], text_atts[i]) + sims_t[i, j]
+    np.testing.assert_allclose(t2v, ref_t2v, atol=2e-4)
