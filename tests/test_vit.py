@@ -219,3 +219,22 @@ def test_load_vit_flax_npz_matches_torch_convert(tmp_path):
     ):
         assert str(ka) == str(kb)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, err_msg=str(ka))
+
+
+def test_interpolate_pos_embed_matches_torch_bicubic():
+    """Pos-embed resize must match the reference's
+    F.interpolate(mode='bicubic', align_corners=False) — this runs when a
+    384-trained BLIP checkpoint is fine-tuned at 224 (and vice versa)."""
+    for src, dst in [(14, 24), (24, 14), (7, 24)]:
+        rng = np.random.RandomState(src * 100 + dst)
+        D = 16
+        pos = rng.randn(1, 1 + src * src, D).astype(np.float32)
+        grid = torch.tensor(pos[:, 1:]).reshape(1, src, src, D).permute(0, 3, 1, 2)
+        t_out = F.interpolate(grid.double(), size=(dst, dst), mode="bicubic",
+                              align_corners=False)
+        ref = np.concatenate(
+            [pos[:, :1],
+             t_out.permute(0, 2, 3, 1).reshape(1, dst * dst, D).numpy().astype(np.float32)],
+            axis=1)
+        got = np.asarray(interpolate_pos_embed(jnp.asarray(pos), dst * dst))
+        np.testing.assert_allclose(got, ref, atol=1e-6)

@@ -163,16 +163,49 @@ def vit_forward(params, images, cfg: ViTConfig, dtype=None, return_attn: bool = 
     return x
 
 
+def _torch_bicubic_weights(in_size: int, out_size: int):
+    """1-D resampling weight matrix (out, in) matching
+    ``torch.nn.functional.interpolate(mode='bicubic',
+    align_corners=False)``: half-pixel coordinate mapping, cubic
+    convolution kernel with a=-0.75, edge-clamped taps."""
+    import numpy as np
+
+    a = -0.75
+
+    def kernel(s):
+        s = np.abs(s)
+        out = np.where(s <= 1, (a + 2) * s**3 - (a + 3) * s**2 + 1,
+                       np.where(s < 2, a * s**3 - 5 * a * s**2 + 8 * a * s - 4 * a, 0.0))
+        return out
+
+    scale = in_size / out_size
+    x = (np.arange(out_size) + 0.5) * scale - 0.5
+    x0 = np.floor(x).astype(int)
+    t = x - x0
+    w = np.zeros((out_size, in_size), np.float64)
+    for tap in (-1, 0, 1, 2):
+        idx = np.clip(x0 + tap, 0, in_size - 1)
+        np.add.at(w, (np.arange(out_size), idx), kernel(tap - t))
+    return w
+
+
 def interpolate_pos_embed(pos_embed, new_num_patches: int, num_extra_tokens: int = 1):
-    """Bicubic-resize position embeddings to a new grid
-    (reference: models/vit.py:281-305)."""
+    """Bicubic-resize position embeddings to a new grid, numerically
+    matching the reference's ``F.interpolate(..., mode='bicubic')``
+    (reference: models/vit.py:281-305). Runs host-side at load time."""
+    import numpy as np
+
     old_len = pos_embed.shape[1] - num_extra_tokens
     orig_size = int(old_len**0.5)
     new_size = int(new_num_patches**0.5)
     if orig_size == new_size:
         return pos_embed
     extra = pos_embed[:, :num_extra_tokens]
-    grid = pos_embed[:, num_extra_tokens:].reshape(1, orig_size, orig_size, -1)
-    grid = jax.image.resize(grid, (1, new_size, new_size, grid.shape[-1]), method="bicubic")
-    grid = grid.reshape(1, new_size * new_size, -1)
+    grid = np.asarray(pos_embed[:, num_extra_tokens:], np.float64).reshape(
+        orig_size, orig_size, -1)
+    w = _torch_bicubic_weights(orig_size, new_size)
+    grid = np.einsum("oi,ijd->ojd", w, grid)   # rows
+    grid = np.einsum("oj,ijd->iod", w, grid)   # cols
+    grid = jnp.asarray(grid.reshape(1, new_size * new_size, -1),
+                       dtype=pos_embed.dtype)
     return jnp.concatenate([extra, grid], axis=1)
