@@ -190,3 +190,23 @@ def test_cli_data_parallel_matches(clip_workdir):
         cli.main(args, dict(clip_workdir.config, data_parallel=dp))
         outs.append(open(os.path.join(out_dir, "visual_tokens.json")).read())
     assert outs[0] == outs[1]
+
+
+def test_clip_preprocess_matches_hf_processor():
+    """clip_preprocess_pil must match HF CLIPImageProcessor (shortest-side
+    bicubic resize + center crop + CLIP stats) — visual-token exact-match
+    depends on it."""
+    from transformers import CLIPImageProcessor
+
+    from vidil_tpu.ops.image import CLIP_MEAN, CLIP_STD
+    from vidil_tpu.pipeline.visual_tokenization import clip_preprocess_pil
+
+    proc = CLIPImageProcessor()
+    rng = np.random.RandomState(0)
+    for shape in [(300, 480), (480, 300), (224, 224), (100, 90)]:
+        frames = rng.randint(0, 256, size=(2, *shape, 3)).astype(np.uint8)
+        ref = proc(images=[f for f in frames], return_tensors="np")["pixel_values"]
+        got_u8 = clip_preprocess_pil(frames, 224)
+        got = ((got_u8.astype(np.float32) / 255.0 - np.asarray(CLIP_MEAN))
+               / np.asarray(CLIP_STD)).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, ref, atol=1e-6)
