@@ -193,3 +193,31 @@ def test_engine_mesh_sharded_matches_single(engine, tokenizer, synthetic_video):
     b = meshed.run_chunk(chunk, config)
     for ra, rb in zip(a, b):
         assert ra == rb
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("torchvision") is None,
+    reason="torchvision not installed (preprocess is the same PIL resize call the reference's torchvision Compose delegates to)")
+def test_preprocess_matches_torchvision():
+    """preprocess_frames_pil must match the reference's torchvision
+    Compose(ToPILImage, Resize((S,S), BICUBIC), ToTensor, Normalize)
+    (reference: run_video_CapFilt.py:127-137)."""
+    from torchvision import transforms
+    from torchvision.transforms import InterpolationMode
+
+    from vidil_tpu.ops.image import CLIP_MEAN, CLIP_STD
+
+    S = 48
+    t = transforms.Compose([
+        transforms.ToPILImage(),
+        transforms.Resize((S, S), interpolation=InterpolationMode.BICUBIC),
+        transforms.ToTensor(),
+        transforms.Normalize(CLIP_MEAN, CLIP_STD),
+    ])
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 256, size=(2, 60, 90, 3)).astype(np.uint8)
+    ref = np.stack([t(f).numpy() for f in frames])  # (2, 3, S, S)
+    got_u8 = preprocess_frames_pil(frames, S)
+    got = ((got_u8.astype(np.float32) / 255.0 - np.asarray(CLIP_MEAN))
+           / np.asarray(CLIP_STD)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
