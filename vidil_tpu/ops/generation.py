@@ -207,8 +207,24 @@ def beam_search(
         last_logits, cache = step_fn(flat_tokens, cur_len, cache)
         return (seqs, beam_scores, last_logits, cache, hyp_scores, hyp_seqs, hyp_lens, blocked), None
 
+    # while_loop instead of a fixed-length scan: exits as soon as every
+    # batch is blocked (scan lowers to a while in XLA anyway, so the only
+    # difference is the early exit — post-blocked steps are provably
+    # no-ops, so results are bit-identical; saves ~max_length-len steps
+    # on short captions)
     carry = (seqs, beam_scores, last_logits, cache, hyp_scores, hyp_seqs, hyp_lens, blocked)
-    carry, _ = jax.lax.scan(step, carry, jnp.arange(Lp, gen.max_length))
+
+    def loop_cond(state):
+        cur_len, c = state
+        return (cur_len < gen.max_length) & jnp.logical_not(jnp.all(c[7]))
+
+    def loop_body(state):
+        cur_len, c = state
+        c, _ = step(c, cur_len)
+        return cur_len + 1, c
+
+    _, carry = jax.lax.while_loop(loop_cond, loop_body,
+                                  (jnp.asarray(Lp, jnp.int32), carry))
     seqs, beam_scores, _, _, hyp_scores, hyp_seqs, hyp_lens, blocked = carry
 
     def finalize_batch(blocked_b, beam_scores_b, beam_seqs_b, hyp_s, hyp_q, hyp_l):
@@ -291,7 +307,21 @@ def nucleus_sample(
         last_logits, cache = step_fn(tokens, cur_len, cache)
         return (seqs, last_logits, cache, finished), None
 
+    # while_loop with an all-finished early exit (finished rows emit pad,
+    # so extra steps are no-ops — bit-identical to running the full scan;
+    # the per-step RNG key is indexed by position, preserving the stream)
     keys = jax.random.split(rng_key, T)
     carry = (seqs, last_logits, cache, finished)
-    carry, _ = jax.lax.scan(step, carry, (jnp.arange(Lp, gen.max_length), keys))
+
+    def loop_cond(state):
+        cur_len, c = state
+        return (cur_len < gen.max_length) & jnp.logical_not(jnp.all(c[3]))
+
+    def loop_body(state):
+        cur_len, c = state
+        c, _ = step(c, (cur_len, keys[cur_len - Lp]))
+        return cur_len + 1, c
+
+    _, carry = jax.lax.while_loop(loop_cond, loop_body,
+                                  (jnp.asarray(Lp, jnp.int32), carry))
     return carry[0]
