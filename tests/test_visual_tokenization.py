@@ -210,3 +210,16 @@ def test_clip_preprocess_matches_hf_processor():
         got = ((got_u8.astype(np.float32) / 255.0 - np.asarray(CLIP_MEAN))
                / np.asarray(CLIP_STD)).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_embed_texts_blocked_scan_matches(monkeypatch, clip_workdir):
+    """The one-program scanned block path must equal per-block calls."""
+    import run_visual_tokenization as cli
+    from vidil_tpu.pipeline import visual_tokenization as vt
+
+    engine = cli.build_clip_engine(dict(clip_workdir.config))
+    texts = [f"a photo of dog {i}" for i in range(10)]
+    ref = engine.embed_texts(texts)  # single-block path (10 <= 512)
+    monkeypatch.setattr(vt, "EMBEDDING_BATCH_LIMIT_TEXT", 4)
+    got = engine.embed_texts(texts)  # 3 blocks of 4 (last padded), scanned
+    np.testing.assert_allclose(got, ref, atol=1e-6)

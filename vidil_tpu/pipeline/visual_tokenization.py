@@ -190,6 +190,17 @@ class ClipTokenizationEngine:
             return clip_text_embeds(params, ids, clip_cfg, dtype=dtype)
 
         @jax.jit
+        def _embed_texts_blocks(params, ids_blocks):
+            """(n_blocks, bs, L) -> (n_blocks, bs, D): all ontology blocks
+            in ONE program via lax.scan — one dispatch instead of ~87
+            sequential jit calls for a 44k-text ontology (dispatch latency
+            dominates on remote backends). Same block size as the
+            reference (512), so numerics are identical per block."""
+            return jax.lax.scan(
+                lambda _, ids: (None, clip_text_embeds(params, ids, clip_cfg, dtype=dtype)),
+                None, ids_blocks)[1]
+
+        @jax.jit
         def _embed_frames(params, frames_u8):
             x = (frames_u8.astype(jnp.float32) / 255.0 - mean) / std
             return clip_image_embeds(params, x, clip_cfg, dtype=dtype)
@@ -199,6 +210,7 @@ class ClipTokenizationEngine:
             return jnp.dot(img, txt.T, precision=jax.lax.Precision.HIGHEST)
 
         self._embed_texts = lambda ids: _embed_texts(self.params, ids)
+        self._embed_texts_blocks = lambda ids: _embed_texts_blocks(self.params, ids)
         self._embed_frames = lambda frames: _embed_frames(self.params, frames)
         self._sims = _sims
 
@@ -210,20 +222,23 @@ class ClipTokenizationEngine:
         return batch_put(self.mesh, x)
 
     def embed_texts(self, texts: list[str]) -> np.ndarray:
-        """Batched text embedding (batch 512, reference :84-96)."""
-        chunks = []
+        """Batched text embedding (batch 512, reference :84-96). Multi-block
+        inputs (ontologies) run all blocks in one scanned program."""
         bs = EMBEDDING_BATCH_LIMIT_TEXT
-        for i in range(0, len(texts), bs):
-            enc = self.tok(texts[i : i + bs], padding="max_length",
+        n = len(texts)
+        if n <= bs:
+            enc = self.tok(texts, padding="max_length",
                            truncation=True, max_length=self.cfg.max_text_len)
-            n = enc.input_ids.shape[0]
-            ids = enc.input_ids
-            if n < bs and len(texts) > bs:
-                pad = np.tile(ids[-1:], (bs - n, 1))
-                ids = np.concatenate([ids, pad], axis=0)
-            emb = np.asarray(self._embed_texts(self._put(ids)))[:n]
-            chunks.append(emb)
-        return np.concatenate(chunks, axis=0)
+            return np.asarray(self._embed_texts(self._put(enc.input_ids)))
+        enc = self.tok(texts, padding="max_length",
+                       truncation=True, max_length=self.cfg.max_text_len)
+        ids = enc.input_ids
+        if n % bs:
+            pad = np.tile(ids[-1:], (bs - n % bs, 1))
+            ids = np.concatenate([ids, pad], axis=0)
+        blocks = ids.reshape(-1, bs, ids.shape[1])
+        emb = np.asarray(self._embed_texts_blocks(jnp.asarray(blocks)))
+        return emb.reshape(-1, emb.shape[-1])[:n]
 
     def embed_frames(self, frames_u8: np.ndarray) -> np.ndarray:
         """(F, S, S, C) uint8 (already CLIP-preprocessed) -> (F, D)."""
@@ -262,6 +277,14 @@ class BlipTokenizationEngine:
             return feat / jnp.linalg.norm(feat, axis=-1, keepdims=True)
 
         @jax.jit
+        def _embed_texts_blocks(params, ids_blocks, mask_blocks):
+            """(n_blocks, bs, L) -> (n_blocks, bs, D) in one scanned program
+            (one dispatch for a whole ontology instead of one per block)."""
+            return jax.lax.scan(
+                lambda _, im: (None, _embed_texts(params, im[0], im[1])),
+                None, (ids_blocks, mask_blocks))[1]
+
+        @jax.jit
         def _embed_frames(params, frames_u8):
             x = (frames_u8.astype(jnp.float32) / 255.0 - mean) / std
             feats = BLIP.encode_images(params, x, vit_cfg, dtype=dtype)
@@ -280,6 +303,7 @@ class BlipTokenizationEngine:
             return logits[:, 1]
 
         self._embed_texts = lambda ids, mask: _embed_texts(self.params, ids, mask)
+        self._embed_texts_blocks = lambda ids, mask: _embed_texts_blocks(self.params, ids, mask)
         self._embed_frames_j = lambda frames: _embed_frames(self.params, frames)
         self._itm = lambda *a: _itm(self.params, *a)
 
@@ -292,18 +316,27 @@ class BlipTokenizationEngine:
 
     def embed_texts(self, texts: list[str]):
         """Returns (text_embeds, text_ids, text_atts); ids get [ENC] at pos 0
-        for the ITM rerank (reference :114-133)."""
-        embeds, all_ids, all_atts = [], [], []
+        for the ITM rerank (reference :114-133). Multi-block inputs run all
+        512-text blocks in one scanned program."""
         bs = EMBEDDING_BATCH_LIMIT_TEXT
-        for i in range(0, len(texts), bs):
-            enc = self.tok(texts[i : i + bs], padding="max_length", truncation=True, max_length=35)
-            emb = np.asarray(self._embed_texts(self._put(enc.input_ids), self._put(enc.attention_mask)))
-            embeds.append(emb)
-            all_ids.append(enc.input_ids)
-            all_atts.append(enc.attention_mask)
-        text_ids = np.concatenate(all_ids)
+        n = len(texts)
+        enc = self.tok(texts, padding="max_length", truncation=True, max_length=35)
+        if n <= bs:
+            embeds = np.asarray(self._embed_texts(self._put(enc.input_ids),
+                                                  self._put(enc.attention_mask)))
+        else:
+            ids, mask = enc.input_ids, enc.attention_mask
+            if n % bs:
+                pad = bs - n % bs
+                ids = np.concatenate([ids, np.tile(ids[-1:], (pad, 1))], axis=0)
+                mask = np.concatenate([mask, np.tile(mask[-1:], (pad, 1))], axis=0)
+            L = ids.shape[1]
+            emb = np.asarray(self._embed_texts_blocks(
+                jnp.asarray(ids.reshape(-1, bs, L)), jnp.asarray(mask.reshape(-1, bs, L))))
+            embeds = emb.reshape(-1, emb.shape[-1])[:n]
+        text_ids = enc.input_ids.copy()
         text_ids[:, 0] = self.tok.enc_token_id
-        return np.concatenate(embeds), text_ids, np.concatenate(all_atts)
+        return embeds, text_ids, enc.attention_mask
 
     def embed_frames(self, frames_u8: np.ndarray):
         feats, emb = self._embed_frames_j(self._put(frames_u8))
