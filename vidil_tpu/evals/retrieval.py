@@ -82,10 +82,28 @@ class RetrievalEvaluator:
             logits = B.blip_itm_scores(params, img, ids, mask, med_cfg, dtype=dtype)
             return logits[:, 1].reshape(R, k)
 
+        # all row-blocks of one direction in a single scanned program —
+        # one dispatch per direction instead of one per R-row block
+        @jax.jit
+        def _itm_v2t_blocks(params, video_feats, text_ids, text_atts, rows_b, topk_b):
+            return jax.lax.scan(
+                lambda _, rt: (None, _itm_v2t(params, video_feats, text_ids,
+                                              text_atts, rt[0], rt[1])),
+                None, (rows_b, topk_b))[1]
+
+        @jax.jit
+        def _itm_t2v_blocks(params, video_feats, text_ids, text_atts, rows_b, topk_b):
+            return jax.lax.scan(
+                lambda _, rt: (None, _itm_t2v(params, video_feats, text_ids,
+                                              text_atts, rt[0], rt[1])),
+                None, (rows_b, topk_b))[1]
+
         self._text_side = lambda ids, mask: _text_side(self.params, ids, mask)
         self._video_side = lambda video: _video_side(self.params, video)
         self._itm_v2t = lambda *a: _itm_v2t(self.params, *a)
         self._itm_t2v = lambda *a: _itm_t2v(self.params, *a)
+        self._itm_v2t_blocks = lambda *a: _itm_v2t_blocks(self.params, *a)
+        self._itm_t2v_blocks = lambda *a: _itm_t2v_blocks(self.params, *a)
 
     def _put(self, x):
         if self.mesh is None:
@@ -117,27 +135,34 @@ class RetrievalEvaluator:
             embeds.append(np.asarray(e))
         return np.concatenate(feats), np.concatenate(embeds)
 
-    def _rerank_rows(self, sims, itm_fn):
-        """k_test rerank over this rank's row shard, R rows per jitted ITM
-        call (the reference loops one row per device step,
-        train_retrieval_video.py:146-180). ``itm_fn(rows, topk) -> (R, k)``
-        runs on device-resident features."""
+    def _rerank_rows(self, sims, itm_blocks_fn):
+        """k_test rerank over this rank's row shard: host argsort picks each
+        row's top-k (np.argsort[::-1], exact reference ordering,
+        train_retrieval_video.py:146-180), then ALL R-row blocks run in one
+        scanned device program. ``itm_blocks_fn(rows_b, topk_b) ->
+        (n_blocks, R, k)``."""
         n_rows, n_cols = sims.shape
         k = min(self.k_test, n_cols)
         R = max(1, self.rows_per_batch)
         scores = np.full(sims.shape, -100.0, np.float32)
         start, end = shard_range(n_rows)
+        rows_list, topk_list, reals = [], [], []
         for block_start in range(start, end, R):
             rows = list(range(block_start, min(end, block_start + R)))
-            real = len(rows)
+            reals.append(len(rows))
             while len(rows) < R:  # pad to keep one compiled shape
                 rows.append(rows[-1])
             rows_arr = np.asarray(rows, np.int32)
-            topk_idx = np.argsort(sims[rows_arr], axis=1)[:, ::-1][:, :k]  # (R, k)
-            itm = np.asarray(itm_fn(rows_arr, topk_idx.astype(np.int32)))
+            rows_list.append(rows_arr)
+            topk_list.append(np.argsort(sims[rows_arr], axis=1)[:, ::-1][:, :k].astype(np.int32))
+        if not rows_list:
+            return scores
+        itm = np.asarray(itm_blocks_fn(jnp.asarray(np.stack(rows_list)),
+                                       jnp.asarray(np.stack(topk_list))))
+        for b, (rows_arr, topk_idx, real) in enumerate(zip(rows_list, topk_list, reals)):
             for j in range(real):
-                i = rows[j]
-                scores[i, topk_idx[j]] = itm[j] + sims[i][topk_idx[j]]
+                i = rows_arr[j]
+                scores[i, topk_idx[j]] = itm[b, j] + sims[i][topk_idx[j]]
         return scores
 
     def score_matrices(self, video_feats, video_embeds, text_embeds, text_ids, text_atts):
@@ -150,11 +175,9 @@ class RetrievalEvaluator:
         tatts = self._put(np.asarray(text_atts))
 
         score_v2t = self._rerank_rows(
-            sims, lambda rows, topk: self._itm_v2t(vf, tids, tatts,
-                                                   jnp.asarray(rows), jnp.asarray(topk)))
+            sims, lambda rows_b, topk_b: self._itm_v2t_blocks(vf, tids, tatts, rows_b, topk_b))
         score_t2v = self._rerank_rows(
-            sims.T, lambda rows, topk: self._itm_t2v(vf, tids, tatts,
-                                                     jnp.asarray(rows), jnp.asarray(topk)))
+            sims.T, lambda rows_b, topk_b: self._itm_t2v_blocks(vf, tids, tatts, rows_b, topk_b))
 
         if get_world_size() > 1:
             from jax.experimental import multihost_utils
