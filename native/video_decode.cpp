@@ -175,6 +175,52 @@ int vd_get_batch(void* h, const long* indices, int n, int out_w, int out_h,
   return 0;
 }
 
+// Decode frames at `indices`, scale to (out_w, out_h) planar YUV420 with
+// FULL-RANGE BT.601 ("JPEG") values, write I420 planes contiguously into
+// out: per frame Y (w*h) then U (w/2*h/2) then V (w/2*h/2). Shipping
+// YUV420 instead of RGB24 halves the bytes crossing the host->device link;
+// the colorspace conversion runs inside the device program
+// (vidil_tpu/ops/image.py:yuv420_to_rgb). out_w/out_h must be even and > 0.
+// Returns 0 on success, <0 on error.
+int vd_get_batch_yuv(void* h, const long* indices, int n, int out_w, int out_h,
+                     uint8_t* out, int* nat_w, int* nat_h) {
+  auto* r = static_cast<Reader*>(h);
+  if (nat_w) *nat_w = r->dec->width;
+  if (nat_h) *nat_h = r->dec->height;
+  if (out_w <= 0 || out_h <= 0 || (out_w & 1) || (out_h & 1)) return -4;
+  const int w = out_w, ht = out_h;
+  SwsContext* sws = nullptr;
+  const size_t y_bytes = static_cast<size_t>(w) * ht;
+  const size_t c_bytes = static_cast<size_t>(w / 2) * (ht / 2);
+  const size_t frame_bytes = y_bytes + 2 * c_bytes;
+  for (int i = 0; i < n; i++) {
+    int64_t idx = indices[i];
+    if (idx < 0) idx = 0;
+    if (idx >= r->n_frames) idx = r->n_frames - 1;
+    if (!(i > 0 && indices[i] == indices[i - 1])) {
+      if (seek_to(r, idx) < 0) { if (sws) sws_freeContext(sws); return -2; }
+    }
+    sws = sws_getCachedContext(sws, r->frame->width, r->frame->height,
+                               (AVPixelFormat)r->frame->format, w, ht,
+                               AV_PIX_FMT_YUV420P, SWS_BICUBIC, nullptr, nullptr, nullptr);
+    if (!sws) return -3;
+    // force full-range BT.601 output regardless of the stream's own
+    // range/matrix so the device-side inverse is a single fixed transform
+    const int* src_coef = sws_getCoefficients(
+        r->frame->colorspace == AVCOL_SPC_BT709 ? SWS_CS_ITU709 : SWS_CS_ITU601);
+    const int* dst_coef = sws_getCoefficients(SWS_CS_ITU601);
+    int src_range = r->frame->color_range == AVCOL_RANGE_JPEG ? 1 : 0;
+    sws_setColorspaceDetails(sws, src_coef, src_range, dst_coef, /*dstRange=*/1,
+                             0, 1 << 16, 1 << 16);
+    uint8_t* base = out + i * frame_bytes;
+    uint8_t* dst[3] = {base, base + y_bytes, base + y_bytes + c_bytes};
+    int dst_stride[3] = {w, w / 2, w / 2};
+    sws_scale(sws, r->frame->data, r->frame->linesize, 0, r->frame->height, dst, dst_stride);
+  }
+  if (sws) sws_freeContext(sws);
+  return 0;
+}
+
 void vd_close(void* h) {
   auto* r = static_cast<Reader*>(h);
   if (r->frame) av_frame_free(&r->frame);

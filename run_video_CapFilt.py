@@ -11,6 +11,12 @@ Extra config keys vs the reference:
   videos_per_batch: videos per compiled step (default 8)
   beam_group_kv:    grouped-KV beam decode, ~1.9x faster (default true)
   data_parallel:    shard batches over all local chips SPMD (default false)
+  transfer_format:  'rgb' (default) or 'yuv420' — ship planar YUV420 to the
+                    device (half the host->device bytes) and fuse the
+                    colorspace conversion into the encode program. Pixel
+                    values differ from the RGB path by the BT.601 roundtrip
+                    (<=1/255 on gray, small on chroma edges), so the default
+                    stays 'rgb' for byte-parity with the reference.
 """
 
 from __future__ import annotations
@@ -121,13 +127,16 @@ def main(args, config):
         )
         if frames is None:
             return None
-        import jax.numpy as jnp
+        pre = preprocess_frames_pil(frames, image_size)
+        if config.get("transfer_format", "rgb") == "yuv420":
+            from vidil_tpu.ops.image import rgb_to_yuv420
 
+            pre = rgb_to_yuv420(pre)  # 1.5 B/px across the link instead of 3
         return {
             "video_id": item["video_id"],
             # device_put from the worker thread: the host->TPU transfer
             # overlaps the previous chunk's device compute
-            "frames": jax.device_put(preprocess_frames_pil(frames, image_size)),
+            "frames": jax.device_put(pre),
             "text": item["text"],
         }
 

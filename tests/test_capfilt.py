@@ -147,6 +147,35 @@ def test_run_chunk_structure(engine, synthetic_video):
     assert results3[0].text == ["a dog runs.", "a cat plays"]
 
 
+def test_run_chunk_yuv_identical_on_gray(engine, synthetic_video):
+    """YUV420 ingest == RGB ingest when the roundtrip is lossless (gray
+    frames): identical captions and filter decisions."""
+    from vidil_tpu.ops.image import rgb_to_yuv420
+
+    rng = np.random.RandomState(7)
+    gray = np.repeat(rng.randint(0, 256, size=(4, 32, 32, 1), dtype=np.uint8), 3, axis=-1)
+    config = dict(caption=True, filter=True, filter_generated_only=True,
+                  keep_original_caption=False, threshold=-1.0, filter_mode="max_filter",
+                  generation_mode="beam", do_sentence_tokenization=False)
+    chunk_rgb = [{"video_id": "v", "frames": gray, "text": ["a dog"]}]
+    chunk_yuv = [{"video_id": "v", "frames": rgb_to_yuv420(gray), "text": ["a dog"]}]
+    res_rgb = engine.run_chunk(chunk_rgb, config)
+    res_yuv = engine.run_chunk(chunk_yuv, config)
+    assert res_rgb[0].unfiltered_text == res_yuv[0].unfiltered_text
+    assert res_rgb[0].text == res_yuv[0].text
+
+
+def test_engine_early_exit_off_identical(engine, tokenizer, synthetic_video):
+    """early_exit=False runs all decode steps; outputs are bit-identical."""
+    from vidil_tpu.data.sampling import load_video_frames
+
+    fixed = CapFiltEngine(engine.captioner_params, engine.filterer_params,
+                          tokenizer, VIT, MED, num_beams=3, max_length=16,
+                          min_length=5, dtype=None, early_exit=False)
+    frames = preprocess_frames_pil(load_video_frames(synthetic_video, "uniform", 4), 32)
+    assert engine.caption_frames(frames) == fixed.caption_frames(frames)
+
+
 def test_original_caption_sentences():
     out = original_caption_sentences(["one sentence here. second one!\nthird line"], True)
     assert out == ["one sentence here.", "second one!. third line"] or len(out) >= 2

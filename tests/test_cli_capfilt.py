@@ -107,6 +107,29 @@ def test_cli_end_to_end(workdir):
     assert capfilt["video0"] == cap["video0"]
 
 
+def test_cli_transfer_format_yuv420(workdir):
+    """transfer_format: yuv420 ships half the bytes to the device; output
+    contract (file tree, key sets) is unchanged. Caption strings may differ
+    from the RGB run only by the BT.601 roundtrip on chroma."""
+    import run_video_CapFilt as cli
+
+    out_dir = str(workdir.root / "out_yuv")
+    args = types.SimpleNamespace(
+        output_dir=out_dir, seed=42, world_size=1, dist_url="env://",
+        distributed=False, device="cpu",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    cli.main(args, dict(workdir.config, transfer_format="yuv420"))
+
+    capfilt = json.load(open(os.path.join(out_dir, "video_text_CapFilt.json")))
+    cap = json.load(open(os.path.join(out_dir, "video_text_Cap.json")))
+    assert set(cap.keys()) == {"video0", "video1", "video2"}
+    assert set(capfilt.keys()) == set(cap.keys())
+    for texts in capfilt.values():
+        assert texts and all(isinstance(t, str) for t in texts)
+    assert not os.path.exists(os.path.join(out_dir, "tmp"))
+
+
 def test_cli_data_parallel_matches(workdir):
     """data_parallel=true shards batches over the local device mesh and
     produces byte-identical output files."""

@@ -55,6 +55,11 @@ def _load_native():
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
         lib.vd_close.argtypes = [ctypes.c_void_p]
+        try:
+            lib.vd_get_batch_yuv.restype = ctypes.c_int
+            lib.vd_get_batch_yuv.argtypes = lib.vd_get_batch.argtypes
+        except AttributeError:  # pragma: no cover - stale .so without YUV
+            pass
         _native_lib = lib
     except Exception:  # pragma: no cover
         _native_lib = False
@@ -105,6 +110,35 @@ class NativeVideoReader:
         if ret != 0:
             raise IOError(f"native decode failed ({ret})")
         return out
+
+    def get_batch_yuv(self, indices):
+        """Decode + scale directly to planar full-range BT.601 YUV420
+        (half the bytes of RGB24; convert on device with
+        ops.image.yuv420_to_rgb). Requires decode-time width/height (even).
+        Returns a YUV420Frames of numpy planes."""
+        from vidil_tpu.ops.image import YUV420Frames
+
+        if not (self._width and self._height) or (self._width & 1) or (self._height & 1):
+            raise ValueError("get_batch_yuv needs even decode-time width/height")
+        if not hasattr(self._lib, "vd_get_batch_yuv"):
+            raise RuntimeError("native library built without vd_get_batch_yuv; rebuild")
+        idx = np.clip(np.asarray(list(indices), np.int64), 0, self._len - 1)
+        n = len(idx)
+        w, h = self._width, self._height
+        buf = np.empty((n, h * w * 3 // 2), np.uint8)
+        natw = ctypes.c_int()
+        nath = ctypes.c_int()
+        c_idx = (ctypes.c_long * n)(*idx.tolist())
+        ret = self._lib.vd_get_batch_yuv(
+            self._h, c_idx, n, w, h,
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.byref(natw), ctypes.byref(nath))
+        if ret != 0:
+            raise IOError(f"native YUV decode failed ({ret})")
+        y = buf[:, : h * w].reshape(n, h, w)
+        u = buf[:, h * w : h * w + (h // 2) * (w // 2)].reshape(n, h // 2, w // 2)
+        v = buf[:, h * w + (h // 2) * (w // 2) :].reshape(n, h // 2, w // 2)
+        return YUV420Frames(y.copy(), u.copy(), v.copy())
 
     def release(self) -> None:
         if self._h:
@@ -180,6 +214,13 @@ class Cv2VideoReader:
             frames[i] = self._read_at(i)
         out = [frames[int(np.clip(i, 0, self._len - 1))] for i in indices]
         return np.stack(out)
+
+    def get_batch_yuv(self, indices):
+        """Fallback YUV420 path: decode RGB then convert on the host
+        (the native reader scales directly in YUV and skips the roundtrip)."""
+        from vidil_tpu.ops.image import rgb_to_yuv420
+
+        return rgb_to_yuv420(self.get_batch(indices))
 
     def release(self) -> None:
         self._cap.release()

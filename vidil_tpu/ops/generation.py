@@ -52,6 +52,11 @@ class GenerationConfig:
     length_penalty: float = 1.0
     top_p: float = 0.9
     length_norm: str = "legacy"  # "legacy" (reference parity) | "modern"
+    # early_exit=False forces the decode loop to run all max_length steps
+    # even when every batch is blocked/finished. Outputs are bit-identical
+    # either way (post-blocked steps are no-ops); disabling it makes the
+    # step count — and thus benchmark timings — input-independent.
+    early_exit: bool = True
 
 
 def _apply_repetition_penalty(scores, seqs, cur_len, penalty: float):
@@ -216,7 +221,8 @@ def beam_search(
 
     def loop_cond(state):
         cur_len, c = state
-        return (cur_len < gen.max_length) & jnp.logical_not(jnp.all(c[7]))
+        not_done = jnp.logical_not(jnp.all(c[7])) if gen.early_exit else True
+        return (cur_len < gen.max_length) & not_done
 
     def loop_body(state):
         cur_len, c = state
@@ -315,7 +321,8 @@ def nucleus_sample(
 
     def loop_cond(state):
         cur_len, c = state
-        return (cur_len < gen.max_length) & jnp.logical_not(jnp.all(c[3]))
+        not_done = jnp.logical_not(jnp.all(c[3])) if gen.early_exit else True
+        return (cur_len < gen.max_length) & not_done
 
     def loop_body(state):
         cur_len, c = state

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from vidil_tpu.config import MedConfig, ViTConfig
 from vidil_tpu.models import blip as B
 from vidil_tpu.ops.generation import GenerationConfig
-from vidil_tpu.ops.image import CLIP_MEAN, CLIP_STD, normalize
+from vidil_tpu.ops.image import CLIP_MEAN, CLIP_STD, YUV420Frames, normalize, yuv420_to_rgb
 
 
 # ---------------------------------------------------------------------------
@@ -87,6 +87,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _num_frames(frames) -> int:
+    return frames.num_frames if isinstance(frames, YUV420Frames) else frames.shape[0]
+
+
+def _is_device_array(x) -> bool:
+    return isinstance(x, jnp.ndarray) and not isinstance(x, np.ndarray)
+
+
+def _concat_frames(frame_list):
+    """Concatenate per-video frames along the frame axis; accepts uint8 RGB
+    arrays or YUV420Frames plane tuples (host numpy or device arrays)."""
+    if isinstance(frame_list[0], YUV420Frames):
+        cat = jnp.concatenate if _is_device_array(frame_list[0].y) else np.concatenate
+        return YUV420Frames(*(cat([f[i] for f in frame_list], axis=0) for i in range(3)))
+    cat = jnp.concatenate if _is_device_array(frame_list[0]) else np.concatenate
+    return cat(frame_list, axis=0)
+
+
 # ---------------------------------------------------------------------------
 # engine
 # ---------------------------------------------------------------------------
@@ -118,6 +136,7 @@ class CapFiltEngine:
         dtype=jnp.bfloat16,
         length_norm: str = "legacy",
         beam_group_kv: bool = False,
+        early_exit: bool = True,
         mesh=None,
     ):
         # mesh: optional jax.sharding.Mesh with a 'data' axis. When given,
@@ -152,12 +171,13 @@ class CapFiltEngine:
         self.gen_beam = GenerationConfig(
             max_length=max_length, min_length=min_length, num_beams=num_beams,
             eos_token_id=tokenizer.sep_token_id, pad_token_id=tokenizer.pad_token_id,
-            repetition_penalty=1.0, length_norm=length_norm,
+            repetition_penalty=1.0, length_norm=length_norm, early_exit=early_exit,
         )
         self.gen_sample = GenerationConfig(
             max_length=max_length, min_length=min_length, num_beams=1,
             eos_token_id=tokenizer.sep_token_id, pad_token_id=tokenizer.pad_token_id,
             repetition_penalty=1.1, top_p=top_p, length_norm=length_norm,
+            early_exit=early_exit,
         )
 
         mean = np.asarray(CLIP_MEAN, np.float32)
@@ -181,7 +201,14 @@ class CapFiltEngine:
 
         @jax.jit
         def _encode(params, frames_u8):
-            x = (frames_u8.astype(jnp.float32) / 255.0 - mean) / std
+            # frames arrive as uint8 RGB (B, S, S, 3) or as a YUV420Frames
+            # plane tuple (half the host->device bytes; colorspace conversion
+            # fuses into this program). jit retraces per input structure.
+            if isinstance(frames_u8, YUV420Frames):
+                x = yuv420_to_rgb(*frames_u8) / 255.0
+            else:
+                x = frames_u8.astype(jnp.float32) / 255.0
+            x = (x - mean) / std
             return B.encode_images(params, x, vit_cfg, dtype=dtype)
 
         def _caption(frames_u8, rng, sample=False):
@@ -192,7 +219,7 @@ class CapFiltEngine:
         def _encode_filter(params, frames_u8, num_frm):
             """(V*F, S, S, C) uint8 -> (V, F, P, D); result stays on device."""
             embeds = _encode(params, frames_u8)
-            V = frames_u8.shape[0] // num_frm
+            V = _num_frames(frames_u8) // num_frm
             return embeds.reshape((V, num_frm) + embeds.shape[1:])
 
         @jax.jit
@@ -217,6 +244,8 @@ class CapFiltEngine:
     def _put(self, x):
         """Device placement honoring the mesh: shard dim 0 over 'data'
         when divisible, replicate otherwise; plain transfer without a mesh."""
+        if isinstance(x, YUV420Frames):
+            return YUV420Frames(*(self._put(p) for p in x))
         if self.mesh is None:
             return jnp.asarray(x)
         from vidil_tpu.parallel.mesh import batch_put
@@ -290,19 +319,15 @@ class CapFiltEngine:
         filter_mode / generation_mode / do_sentence_tokenization).
         """
         V = len(chunk)
-        F = chunk[0]["frames"].shape[0]
+        F = _num_frames(chunk[0]["frames"])
         results = []
 
         # frames go to the device ONCE; the caption and filter paths share
         # the device-resident array. Per-video frames may already be device
         # arrays (the CLI device_puts them from its decode threads so the
-        # host->TPU transfer overlaps the previous chunk's compute).
-        frame_list = [c["frames"] for c in chunk]
-        if isinstance(frame_list[0], jnp.ndarray) and not isinstance(frame_list[0], np.ndarray):
-            all_frames_dev = jnp.concatenate(frame_list, axis=0)
-        else:
-            all_frames_dev = np.concatenate(frame_list, axis=0)
-        all_frames_dev = self._put(all_frames_dev)
+        # host->TPU transfer overlaps the previous chunk's compute), and may
+        # be uint8 RGB or YUV420Frames plane tuples.
+        all_frames_dev = self._put(_concat_frames([c["frames"] for c in chunk]))
 
         # 1. caption all frames of all videos in one program
         if config.get("caption", True):
