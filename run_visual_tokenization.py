@@ -148,6 +148,13 @@ def main(args, config):
 
     prompt_functions = get_prefix_prompt_functions(config["prompt_version_visual_tokenization"])
     onto_root = config.get("ontology_root", "visual_token_ontology")
+    if not os.path.isabs(onto_root) and not os.path.isdir(onto_root):
+        # fall back to the ontology term lists vendored with the repo
+        # (reference data assets, run_visual_tokenization.py:369-381) so the
+        # default configs run with zero setup from any working directory
+        vendored = os.path.join(os.path.dirname(os.path.abspath(__file__)), onto_root)
+        if os.path.isdir(vendored):
+            onto_root = vendored
     if "ontology_paths" in config:
         paths = config["ontology_paths"]
     else:

@@ -192,6 +192,54 @@ def test_cli_data_parallel_matches(clip_workdir):
     assert outs[0] == outs[1]
 
 
+def test_vendored_vg_ontology_counts():
+    """The repo vendors the reference's ontology term lists (data assets,
+    reference run_visual_tokenization.py:369-381); post-filter counts are
+    pinned so a corrupted/missing vendored file fails loudly."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from vidil_tpu.pipeline.visual_tokenization import ontology_paths
+
+    vg = load_ontology(ontology_paths("vg", os.path.join(repo, "visual_token_ontology")))
+    assert {k: len(v) for k, v in vg.items()} == {
+        "objects": 19958, "attributes": 15026, "scenes": 365, "verbs": 7410}
+    tc = load_ontology(ontology_paths("vg_tencent", os.path.join(repo, "visual_token_ontology")))
+    assert {k: len(v) for k, v in tc.items()} == {
+        "objects": 11163, "attributes": 15157, "scenes": 365, "verbs": 7410}
+
+
+def test_cli_vg_ontology_end_to_end(clip_workdir, monkeypatch):
+    """ontology: vg runs out of the box on the vendored real term lists —
+    including from a non-repo cwd (repo-root fallback for ontology_root)."""
+    import run_visual_tokenization as cli
+
+    out_dir = str(clip_workdir.root / "out_vg")
+    args = types.SimpleNamespace(
+        output_dir=out_dir, seed=42, world_size=1, dist_url="env://",
+        distributed=False, device="cpu", encoder_version="clip",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    monkeypatch.chdir(clip_workdir.root)
+    config = {k: v for k, v in clip_workdir.config.items() if k != "ontology_paths"}
+    config["ontology"] = "vg"
+    # one video is plenty: the point is embedding all 42,759 real terms
+    ann = {"vid0": clip_workdir.ann["vid0"]}
+    ann_path = str(clip_workdir.root / "ann_vg.json")
+    json.dump(ann, open(ann_path, "w"))
+    config["train_ann_jsons"] = ann_path
+    cli.main(args, config)
+
+    tokens = json.load(open(os.path.join(out_dir, "visual_tokens.json")))
+    assert set(tokens.keys()) == {"vid0"}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from vidil_tpu.pipeline.visual_tokenization import ontology_paths
+
+    vg = load_ontology(ontology_paths("vg", os.path.join(repo, "visual_token_ontology")))
+    for ft in tokens["vid0"]["frame_tokens"]:
+        for key in ("objects", "attributes", "scenes", "verbs"):
+            assert len(ft[key]) == 2
+            assert all(t in vg[key] for t in ft[key]), (key, ft[key])
+
+
 def test_clip_preprocess_matches_hf_processor():
     """clip_preprocess_pil must match HF CLIPImageProcessor (shortest-side
     bicubic resize + center crop + CLIP stats) — visual-token exact-match
