@@ -198,6 +198,11 @@ def compute_caption_scores(gts_raw: dict, res_raw: dict) -> dict:
         out = {}
         for i, s in enumerate(bleu(gts, res)):
             out[f"Bleu_{i+1}"] = s
+        # METEOR needs pycocoevalcap's Java jar (WordNet synonym/paraphrase
+        # matching); reporting an approximation under the reference's metric
+        # name would mislead, so its absence is explicit (reference reports
+        # Bleu/METEOR/ROUGE_L/CIDEr, data/utils.py:205-216)
+        out["METEOR"] = None
         out["ROUGE_L"] = rouge_l(gts, res)
         out["CIDEr"] = cider(gts, res)
         return out
