@@ -19,3 +19,14 @@ os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Rebuild the native decode library when its source is newer than the
+# checked-in .so (a stale binary once shipped without a new export and
+# only the test suite caught it).
+_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_src = os.path.join(_root, "native", "video_decode.cpp")
+_so = os.path.join(_root, "native", "build", "libvidil_decode.so")
+if os.path.exists(_src) and os.path.exists(_so) and os.path.getmtime(_src) > os.path.getmtime(_so):
+    import subprocess
+
+    subprocess.run(["bash", os.path.join(_root, "tools", "build_native.sh")], check=False)
