@@ -15,6 +15,8 @@ from vidil_tpu.ops.flash_attention import attention_auto, flash_attention
     (1, 12, 16, 1154, 64),   # MED cross-attn over 2-frame video memory
     (2, 2, 100, 130, 32),    # ragged, non-multiple-of-128 lengths
     (1, 1, 128, 128, 64),    # exact tile
+    (1, 2, 130, 2600, 32),   # KV streaming path (multiple online-softmax blocks)
+    (1, 2, 1100, 140, 32),   # multiple q blocks
 ])
 def test_flash_matches_xla(B, H, Lq, Lk, D):
     rng = np.random.RandomState(0)
@@ -48,3 +50,24 @@ def test_attention_auto_dispatch():
     np.testing.assert_allclose(a, b, atol=1e-6)
     c = np.asarray(attention_auto(q, k, v, interpret=True))
     np.testing.assert_allclose(c, b, atol=2e-5)
+
+
+def test_flash_profitable_gate():
+    """Dispatch rule: Pallas only when the fp32 logits spill VMEM
+    (measured crossover, tools/bench_attention.py / ARCHITECTURE.md)."""
+    from vidil_tpu.ops.flash_attention import _flash_profitable
+
+    def shaped(B, H, Lq, Lk, D=64):
+        q = jnp.zeros((B, H, Lq, D), jnp.bfloat16)
+        k = jnp.zeros((B, H, Lk, D), jnp.bfloat16)
+        return q, k
+
+    # ViT-B/384 self-attn at CapFilt batch (2 GB logits): kernel on
+    assert _flash_profitable(*shaped(128, 12, 577, 577), None)
+    # ViT-B/224 train shape (59 MB logits, XLA fuses in VMEM): off
+    assert not _flash_profitable(*shaped(32, 12, 197, 197), None)
+    # single-query decode step: off regardless of memory size
+    assert not _flash_profitable(*shaped(96, 12, 1, 2308), None)
+    # any bias forces the XLA path
+    q, k = shaped(128, 12, 577, 577)
+    assert not _flash_profitable(q, k, jnp.zeros((1, 1, 577, 577)))

@@ -46,7 +46,8 @@ class ViTConfig:
     in_channels: int = 3
     remat: bool = False  # jax.checkpoint on blocks (>= remat_from_layer)
     remat_from_layer: int = 0
-    use_flash: bool = False  # Pallas flash-attention kernel for self-attn
+    use_flash: bool = True  # Pallas flash kernel where measured faster (384px encode);
+    # dispatch is shape-aware — small shapes stay on XLA (ops/flash_attention.py)
 
     @property
     def num_patches(self) -> int:

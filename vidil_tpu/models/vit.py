@@ -85,26 +85,25 @@ def patchify(x, patch_size: int):
     return x.reshape(B, nH * nW, P * P * C)
 
 
-def attention(params, x, num_heads: int, dtype=None, use_flash: bool = False):
+def attention(params, x, num_heads: int, dtype=None, use_flash: bool = True):
     """Fused-QKV self-attention (reference: models/vit.py:70-86).
 
-    use_flash routes through the Pallas online-softmax kernel
-    (ops/flash_attention.py) — the Apex-FMHA analogue for the 577-token
-    patch sequence.
-    """
+    use_flash enables the Pallas online-softmax kernel — the Apex-FMHA
+    analogue (ops/flash_attention.py). Dispatch is shape-aware: the kernel
+    runs only where it measured faster than XLA (the 384px encode, whose
+    fp32 logits spill VMEM); 224px training shapes stay on XLA's fused
+    attention, which wins there (tools/bench_attention.py numbers in
+    ARCHITECTURE.md)."""
     qkv = linear(params["qkv"], x, dtype=dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q, k, v = (split_heads(t, num_heads) for t in (q, k, v))
-    if use_flash:
-        from vidil_tpu.ops.flash_attention import flash_attention
+    from vidil_tpu.ops.flash_attention import attention_auto
 
-        out = flash_attention(q, k, v)
-    else:
-        out = dot_product_attention(q, k, v)
+    out = attention_auto(q, k, v, use_flash=use_flash)
     return linear(params["proj"], merge_heads(out), dtype=dtype)
 
 
-def block_forward(params, x, num_heads: int, eps: float, dtype=None, use_flash: bool = False):
+def block_forward(params, x, num_heads: int, eps: float, dtype=None, use_flash: bool = True):
     """Pre-LN residual block (reference: models/vit.py:107-110)."""
     x = x + attention(params["attn"], layer_norm(params["norm1"], x, eps), num_heads,
                       dtype=dtype, use_flash=use_flash)

@@ -1,16 +1,33 @@
 """Flash attention (Pallas TPU kernel).
 
-Online-softmax tiled attention for the framework's hot attention ops —
-the ViT self-attention over 577 patch tokens and the MED cross-attention
-over the N*(P+1)-token video memory (the reference environment's
-equivalents are Apex's fused FMHA/softmax CUDA kernels; SURVEY §2b).
+Online-softmax tiled attention for the framework's hot attention op — the
+ViT-B/384 self-attention over 577 patch tokens (CapFilt captioning, ITM
+filtering, BLIP-mode tokenization, retrieval eval). The reference
+environment's equivalents are Apex's fused FMHA/softmax CUDA kernels
+(SURVEY §2b; docker/apex/apex/contrib/csrc/fmha/).
 
-Forward-only (inference paths: CapFilt captioning, ITM filtering,
-retrieval eval). Training paths keep the XLA attention (autodiff'd);
-a custom VJP can be added when profiling justifies it.
+Design (measured on TPU v5e, tools/bench_attention.py):
+- XLA's unfused attention materializes the fp32 logits in HBM; at the
+  ViT-B/384 shape (128 frames x 12 heads x 577^2) that is ~2 GB of traffic
+  per layer and XLA runs ~7.4 ms. When the logits fit in VMEM (224px
+  training shapes, short text attention, single-query decode steps) XLA
+  fuses everything on-chip and is essentially at the roofline — the kernel
+  cannot win there, so `attention_auto` only dispatches to Pallas when the
+  logits would spill.
+- All heads of one batch item are processed inside ONE grid program
+  (static python loop): grid programs run sequentially on the TensorCore
+  with ~2 us of per-program overhead, so a (B*H, q-blocks) grid at ViT
+  scale (4.6k programs) pays ~10 ms in overhead alone.
+- Matmuls run on the MXU in the input dtype (bf16) with fp32 accumulation
+  (`preferred_element_type`); softmax statistics are fp32. An fp32 matmul
+  here would halve MXU throughput for no accuracy the bf16 inputs can use.
+- Block sizes round up to the 128-lane granularity of the actual sequence
+  lengths instead of fixed power-of-two tiles: 577 -> one 640 block, not
+  two 512 blocks (a 78% padding blowup on the K side).
 
-Usage: `flash_attention(q, k, v)` with shapes (B, H, L, D); falls back to
-the XLA path when shapes don't fit the kernel's constraints.
+Forward-only: the only shape where the kernel wins is inference (the 384px
+encode); the 224px training shapes stay on XLA's fused path, so no VJP is
+needed (ARCHITECTURE.md records the measurements).
 """
 
 from __future__ import annotations
@@ -27,89 +44,148 @@ from vidil_tpu.models.layers import dot_product_attention
 
 NEG_INF = -1e30
 
-
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int, scale: float):
-    """One (batch*head, q-block) program: stream K/V blocks with online softmax.
-
-    q_ref: (block_q, D), k_ref/v_ref: (kv_len_padded, D), o_ref: (block_q, D).
-    """
-    q = q_ref[:].astype(jnp.float32) * scale
-    block_q, d = q.shape
-    kv_padded = k_ref.shape[0]
-    num_kv_blocks = kv_padded // block_k
-
-    def body(i, carry):
-        m_prev, l_prev, acc = carry
-        k = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (block_q, block_k)
-        # mask out padded kv positions
-        kv_pos = i * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        s = jnp.where(kv_pos < kv_len, s, NEG_INF)
-
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
-        return m_new, l_new, acc
-
-    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc0 = jnp.zeros((block_q, d), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, num_kv_blocks, body, (m0, l0, acc0))
-    o_ref[:] = (acc / l).astype(o_ref.dtype)
+# fp32 logits below this spill threshold => XLA keeps the whole attention
+# fused in VMEM and is faster than any custom kernel (measured: 59 MB logits
+# at 224px/32 frames -> XLA 0.03 ms; 2 GB at 384px/128 frames -> XLA 7.4 ms
+# vs Pallas ~2.5 ms).  v5e VMEM is 128 MB.
+_LOGITS_SPILL_BYTES = 128 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def flash_attention(q, k, v, block_q: int = 256, block_k: int = 512,
-                    interpret: bool = False):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int,
+                  num_heads: int):
+    """One (batch, q-block) program: all heads, online softmax over K blocks.
+
+    q_ref/o_ref: (H, block_q, D);  k_ref/v_ref: (H, kv_padded, D).
+    q arrives pre-scaled by 1/sqrt(D) (cheaper on (Lq, D) than on the
+    (block_q, block_k) scores). The kernel is VPU-bound on fp32 score
+    passes, so masking is minimized: KV blocks that are entirely real skip
+    it, and the single tail block adds a precomputed (1, block_k) bias row
+    (one broadcast add) instead of an iota/compare/where chain.
+    """
+    kv_padded = k_ref.shape[1]
+    num_kv_blocks = kv_padded // block_k
+    block_q = q_ref.shape[1]
+    d = q_ref.shape[2]
+    # blocks [0, full_blocks) have no padded keys; only the last block can
+    full_blocks = kv_len // block_k
+
+    tail_bias = None
+    if kv_padded != kv_len:
+        tail_pos = (full_blocks * block_k
+                    + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1))
+        tail_bias = jnp.where(tail_pos < kv_len, 0.0, NEG_INF).astype(jnp.float32)
+
+    for h in range(num_heads):  # static unroll: heads share the program
+        q = q_ref[h]  # (block_q, D), input dtype — bf16 feeds the MXU
+
+        def step(i, carry, bias):
+            m_prev, l_prev, acc = carry
+            k = k_ref[h, pl.ds(i * block_k, block_k), :]
+            v = v_ref[h, pl.ds(i * block_k, block_k), :]
+            # bf16 MXU dot, fp32 accumulation
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            if bias is not None:
+                s = s + bias
+
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            # bf16 inputs: materialize probabilities directly in bf16 (one
+            # fp32 pass saved; the bf16 term rounding in the l-sum is below
+            # the bf16 output rounding). fp32 inputs keep fp32 probs.
+            p = jnp.exp(s - m_new).astype(v.dtype)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True,
+                                             dtype=jnp.float32)
+            acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+            return m_new, l_new, acc
+
+        carry = (jnp.full((block_q, 1), NEG_INF, jnp.float32),
+                 jnp.zeros((block_q, 1), jnp.float32),
+                 jnp.zeros((block_q, d), jnp.float32))
+        if full_blocks == 1:
+            carry = step(0, carry, None)
+        elif full_blocks > 1:
+            carry = jax.lax.fori_loop(0, full_blocks,
+                                      lambda i, c: step(i, c, None), carry)
+        if full_blocks < num_kv_blocks:  # the (single) partially-padded block
+            carry = step(full_blocks, carry, tail_bias)
+        _, l, acc = carry
+        o_ref[h] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def flash_attention(q, k, v, interpret: bool = False):
     """Tiled attention: q (B, H, Lq, D), k/v (B, H, Lk, D) -> (B, H, Lq, D).
 
-    No mask support (the framework's hot paths attend full all-ones masks);
-    fp32 softmax accumulation, output in q.dtype.
+    No mask support (the framework's hot path — ViT self-attention —
+    attends a full all-ones mask); fp32 softmax statistics, bf16 MXU
+    matmuls, output in q.dtype.
     """
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
-    scale = 1.0 / math.sqrt(D)
+    q = q * jnp.asarray(1.0 / math.sqrt(D), q.dtype)  # pre-scale on (Lq, D)
 
-    block_q = min(block_q, _round_up(Lq, 128))
-    block_k = min(block_k, _round_up(Lk, 128))
-    lq_pad = _round_up(Lq, block_q)
-    lk_pad = _round_up(Lk, block_k)
+    # One block when the padded length is modest (640 for ViT's 577);
+    # stream 512-wide blocks with online softmax for long sequences.
+    lq_pad = _round_up(Lq, 128)
+    block_q = lq_pad if lq_pad <= 1024 else 512
+    lq_pad = _round_up(lq_pad, block_q)
+    lk_pad = _round_up(Lk, 128)
+    block_k = lk_pad if lk_pad <= 2048 else 512
+    lk_pad = _round_up(lk_pad, block_k)
 
-    qf = q.reshape(B * H, Lq, D)
-    kf = k.reshape(B * H, Lk, D)
-    vf = v.reshape(B * H, Lk, D)
     if lq_pad != Lq:
-        qf = jnp.pad(qf, ((0, 0), (0, lq_pad - Lq), (0, 0)))
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, lq_pad - Lq), (0, 0)))
     if lk_pad != Lk:
-        kf = jnp.pad(kf, ((0, 0), (0, lk_pad - Lk), (0, 0)))
-        vf = jnp.pad(vf, ((0, 0), (0, lk_pad - Lk), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, lk_pad - Lk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, lk_pad - Lk), (0, 0)))
 
-    grid = (B * H, lq_pad // block_q)
+    # The compiler's default 16 MB scoped-VMEM limit rejects the ViT-384
+    # shape (~34 MB demand with double-buffered q/K/V/o blocks plus the
+    # unrolled per-head score buffers); v5e has 128 MB physical VMEM, so
+    # grant a generous fixed cap and let the pipeliner use it.
+    vmem_limit = 96 * 1024 * 1024
+
+    grid = (B, lq_pad // block_q)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, kv_len=Lk, block_k=block_k, scale=scale),
+        functools.partial(_flash_kernel, kv_len=Lk, block_k=block_k, num_heads=H),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, lk_pad, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, lk_pad, D), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, H, block_q, D), lambda b, i: (b, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, H, lk_pad, D), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, H, lk_pad, D), lambda b, i: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, block_q, D), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * H, lq_pad, D), q.dtype),
+        out_specs=pl.BlockSpec((None, H, block_q, D), lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, lq_pad, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
-    )(qf, kf, vf)
-    return out[:, :Lq, :].reshape(B, H, Lq, D)
+    )(q, k, v)
+    if lq_pad != Lq:
+        out = out[:, :, :Lq, :]
+    return out
+
+
+def _flash_profitable(q, k, bias) -> bool:
+    """Kernel dispatch rule, from measurement (tools/bench_attention.py):
+    Pallas wins only when the fp32 logits would spill out of VMEM; XLA's
+    fused attention wins otherwise (including every Lq==1 decode step)."""
+    B, H, Lq, _ = q.shape
+    Lk = k.shape[2]
+    return (bias is None and Lq >= 128 and q.shape[-1] <= 256
+            and B * H * Lq * Lk * 4 >= _LOGITS_SPILL_BYTES)
 
 
 def attention_auto(q, k, v, bias=None, use_flash: bool = True, interpret: bool = False):
-    """flash_attention when applicable (no bias), XLA otherwise."""
-    if use_flash and bias is None and q.shape[-1] <= 256:
+    """flash_attention when measured-profitable (no bias, logits would
+    spill VMEM), XLA otherwise."""
+    if use_flash and _flash_profitable(q, k, bias):
         return flash_attention(q, k, v, interpret=interpret)
     return dot_product_attention(q, k, v, bias=bias)
