@@ -45,6 +45,28 @@ def test_transforms_shapes():
         assert res.size == img.size, name
 
 
+def test_invert_cutout_ops_exist_but_not_default():
+    """Invert/Cutout are available ops but excluded from the default pool,
+    matching the reference (cutout_func sits outside its arg_dict:
+    transform/randaugment.py:194-205,306-308)."""
+    from PIL import Image
+
+    from vidil_tpu.data.transforms import AUG_OPS, REFERENCE_OP_POOL, RandomAugment
+
+    assert "Invert" in AUG_OPS and "Cutout" in AUG_OPS
+    assert "Invert" not in REFERENCE_OP_POOL and "Cutout" not in REFERENCE_OP_POOL
+    assert set(RandomAugment().augs) == set(REFERENCE_OP_POOL)
+    assert len(REFERENCE_OP_POOL) == 14  # the reference arg_dict's op count
+
+    img = Image.fromarray(np.full((20, 20, 3), 100, np.uint8))
+    inv = np.array(AUG_OPS["Invert"](img, 5))
+    assert (inv == 155).all()
+    np.random.seed(0)
+    cut = np.array(AUG_OPS["Cutout"](img, 10))  # level 10 -> pad 10, box <=10x10
+    assert (cut == 0).any() and (cut == 100).any()
+    assert ((cut == 0) | (cut == 100)).all()
+
+
 @pytest.fixture(scope="module")
 def video_tree(tmp_path_factory):
     import cv2

@@ -37,6 +37,21 @@ def _affine(img: Image.Image, coeffs) -> Image.Image:
                          fillcolor=REPLACE)
 
 
+def _cutout(img: Image.Image, pad_size: int, replace=(0, 0, 0)) -> Image.Image:
+    """Random square patch replaced with a constant (reference:
+    transform/randaugment.py:194-205 — center uniform over the image,
+    box clipped at the borders, half-pad on each side)."""
+    arr = np.array(img)
+    H, W = arr.shape[0], arr.shape[1]
+    rh, rw = np.random.random(2)
+    pad = pad_size // 2
+    ch, cw = int(rh * H), int(rw * W)
+    x1, x2 = max(ch - pad, 0), min(ch + pad, H)
+    y1, y2 = max(cw - pad, 0), min(cw + pad, W)
+    arr[x1:x2, y1:y2] = np.array(replace, dtype=arr.dtype)
+    return Image.fromarray(arr)
+
+
 AUG_OPS = {
     "Identity": lambda img, level: img,
     "AutoContrast": lambda img, level: ImageOps.autocontrast(img),
@@ -53,10 +68,21 @@ AUG_OPS = {
     "TranslateX": lambda img, level: _affine(img, (1, 0, _signed(level, TRANSLATE_CONST), 0, 1, 0)),
     "TranslateY": lambda img, level: _affine(img, (1, 0, 0, 0, 1, _signed(level, TRANSLATE_CONST))),
     "Posterize": lambda img, level: ImageOps.posterize(img, max(1, int((level / MAX_LEVEL) * 4))),
+    # Available but not in any policy, mirroring the reference:
+    # cutout_func/cutout_level_to_args exist outside its dispatch dict
+    # (reference: transform/randaugment.py:194-205,232-238; cutout_const=10
+    # matches translate_const's treatment of level); Invert is the upstream
+    # RandAugment op the reference's vintage dropped.
+    "Invert": lambda img, level: ImageOps.invert(img),
+    "Cutout": lambda img, level: _cutout(img, int((level / MAX_LEVEL) * TRANSLATE_CONST)),
 }
 
 DEFAULT_TRAIN_AUGS = ["Identity", "AutoContrast", "Brightness", "Sharpness", "Equalize",
                       "ShearX", "ShearY", "TranslateX", "TranslateY", "Rotate"]
+
+# the reference's full dispatch pool (transform/randaugment.py arg_dict:
+# 14 ops; Invert/Cutout are NOT in it and must not enter the default pool)
+REFERENCE_OP_POOL = [n for n in AUG_OPS if n not in ("Invert", "Cutout")]
 
 
 class RandomAugment:
@@ -66,7 +92,7 @@ class RandomAugment:
     def __init__(self, N: int = 2, M: int = 10, augs=None):
         self.N = N
         self.M = M
-        self.augs = augs or list(AUG_OPS.keys())
+        self.augs = augs or REFERENCE_OP_POOL
 
     def __call__(self, img: Image.Image) -> Image.Image:
         for name in np.random.choice(self.augs, self.N):
