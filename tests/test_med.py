@@ -196,3 +196,26 @@ def test_kv_cache_decode_matches_full_forward(hf_decoder):
             params, jnp.asarray(ids[:, t]), t, cache, cross_k, cross_v, cross_bias, CFG
         )
         np.testing.assert_allclose(np.asarray(logits), full_logits[:, t], atol=3e-5)
+
+
+def test_grouped_cross_attention_matches_repeated(hf_encoder):
+    """med_forward(group_size=G) over a shared memory must equal the
+    ungrouped forward over the G-fold repeated memory (grouped ITM
+    rerank; vidil_tpu/models/med.py:_grouped_attention)."""
+    params = to_jax_params(hf_encoder)
+    B, G, L, Lk = 2, 3, 7, 5
+    rng = np.random.RandomState(11)
+    ids = rng.randint(5, CFG.vocab_size, size=(B * G, L)).astype(np.int32)
+    mask = np.ones((B * G, L), np.int32)
+    mask[:, -2:] = 0
+    enc = rng.randn(B, Lk, CFG.encoder_width).astype(np.float32)
+
+    grouped = np.asarray(M.med_forward(
+        params, jnp.asarray(ids), jnp.asarray(mask),
+        encoder_hidden_states=jnp.asarray(enc), cfg=CFG, mode="multimodal",
+        group_size=G))
+    repeated = np.asarray(M.med_forward(
+        params, jnp.asarray(ids), jnp.asarray(mask),
+        encoder_hidden_states=jnp.asarray(np.repeat(enc, G, axis=0)),
+        cfg=CFG, mode="multimodal"))
+    np.testing.assert_allclose(grouped, repeated, atol=2e-5, rtol=2e-5)

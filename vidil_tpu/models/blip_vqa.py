@@ -119,12 +119,12 @@ def rank_answer(params, video_embeds, question_ids, question_mask,
     input_atts = answer_mask[topk_ids.reshape(-1)]
     targets = jnp.where(input_ids == tokenizer.pad_token_id, -100, input_ids)
 
-    q_states_rep = jnp.repeat(question_states, k, axis=0)
-    q_mask_rep = jnp.repeat(question_mask, k, axis=0)
+    # the k candidate answers of one question share its encoded states via
+    # grouped cross-attention (no k-fold repeat of the question memory)
     hidden = M.med_forward(
         params["text_decoder"], input_ids, input_atts,
-        encoder_hidden_states=q_states_rep, encoder_attention_mask=q_mask_rep,
-        cfg=med_cfg, mode="multimodal", is_decoder=True, dtype=dtype,
+        encoder_hidden_states=question_states, encoder_attention_mask=question_mask,
+        cfg=med_cfg, mode="multimodal", is_decoder=True, dtype=dtype, group_size=k,
     )
     logits = M.med_lm_logits(params["text_decoder"], hidden, med_cfg, dtype=dtype)
     loss = M.med_lm_loss(logits, targets, label_smoothing=med_cfg.label_smoothing,

@@ -177,12 +177,52 @@ def med_pooler(params, hidden, dtype=None):
 # attention sub-blocks (post-LN, BERT style)
 # ---------------------------------------------------------------------------
 
-def _attn_block(p, x, kv_states, bias, num_heads: int, eps: float, dtype=None):
-    """Project q from x, k/v from kv_states; attend; residual + LN."""
+def _grouped_attention(q, k, v, bias, group_size: int):
+    """Attention where ``group_size`` query rows share one K/V batch row.
+
+    q: (B*G, H, L, Dh), k/v: (B, H, Lk, Dh). Queries fold into a broadcast
+    dim of the batched einsums (contiguous reshape, no transpose), so the
+    large K/V memory is never replicated per query row — the full-sequence
+    analogue of the grouped-KV beam decode.
+
+    With no bias, the fold is plain attention with a (G*L)-long query
+    axis, so it routes through attention_auto — the Pallas flash kernel
+    picks it up when the fp32 logits would spill VMEM (the k_test=128
+    rerank shapes), avoiding the HBM round-trip of the score tensor."""
+    Bn, H, L, Dh = q.shape
+    B = Bn // group_size
+    if bias is None:
+        from vidil_tpu.ops.flash_attention import attention_auto
+
+        qf = (q.reshape(B, group_size, H, L, Dh)
+              .transpose(0, 2, 1, 3, 4).reshape(B, H, group_size * L, Dh))
+        ctx = attention_auto(qf, k, v)
+        return (ctx.reshape(B, H, group_size, L, Dh)
+                .transpose(0, 2, 1, 3, 4).reshape(Bn, H, L, Dh))
+    q5 = q.reshape(B, group_size, H, L, Dh)
+    scale = 1.0 / math.sqrt(Dh)
+    logits = jnp.einsum("bnhqd,bhkd->bnhqk", q5, k,
+                        preferred_element_type=jnp.float32) * scale
+    logits = logits + bias[:, None].astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    ctx = jnp.einsum("bnhqk,bhkd->bnhqd", probs.astype(v.dtype), v)
+    return ctx.reshape(Bn, H, L, Dh)
+
+
+def _attn_block(p, x, kv_states, bias, num_heads: int, eps: float, dtype=None,
+                group_size: int = 1):
+    """Project q from x, k/v from kv_states; attend; residual + LN.
+
+    group_size > 1 (cross-attention only): x has batch B*group_size while
+    kv_states has batch B — each group of ``group_size`` query rows attends
+    the SAME memory without replicating it (see _grouped_attention)."""
     q = split_heads(linear(p["query"], x, dtype=dtype), num_heads)
     k = split_heads(linear(p["key"], kv_states, dtype=dtype), num_heads)
     v = split_heads(linear(p["value"], kv_states, dtype=dtype), num_heads)
-    ctx = merge_heads(dot_product_attention(q, k, v, bias=bias))
+    if group_size > 1:
+        ctx = merge_heads(_grouped_attention(q, k, v, bias, group_size))
+    else:
+        ctx = merge_heads(dot_product_attention(q, k, v, bias=bias))
     out = linear(p["out"], ctx, dtype=dtype)
     return layer_norm(p["norm"], out + x, eps)
 
@@ -226,14 +266,14 @@ def _ffn_block(layer, x, cfg: MedConfig, dtype=None):
 
 def med_layer_forward(
     layer, x, self_bias, cfg: MedConfig,
-    encoder_hidden_states=None, cross_bias=None, dtype=None,
+    encoder_hidden_states=None, cross_bias=None, dtype=None, group_size: int = 1,
 ):
     """One MED layer: self-attn [-> cross-attn] -> FFN (reference: med.py:320-383)."""
     x = _attn_block(layer["self_attn"], x, x, self_bias, cfg.num_heads, cfg.layer_norm_eps, dtype)
     if encoder_hidden_states is not None:
         x = _attn_block(
             layer["cross_attn"], x, encoder_hidden_states, cross_bias,
-            cfg.num_heads, cfg.layer_norm_eps, dtype,
+            cfg.num_heads, cfg.layer_norm_eps, dtype, group_size=group_size,
         )
     return _ffn_block(layer, x, cfg, dtype)
 
@@ -254,8 +294,13 @@ def med_forward(
     is_decoder: bool = False,
     inputs_embeds=None,
     dtype=None,
+    group_size: int = 1,
 ):
     """BertModel.forward equivalent (reference: models/med.py:670-807).
+
+    group_size > 1: input_ids has batch B*group_size while
+    encoder_hidden_states has batch B — groups of query rows share one
+    cross-attention memory without replicating it (grouped ITM scoring).
 
     Returns the last hidden state (B, L, D).
     """
@@ -272,9 +317,11 @@ def med_forward(
 
     use_cross = mode == "multimodal" and encoder_hidden_states is not None
     if use_cross:
-        if encoder_attention_mask is None:
-            encoder_attention_mask = jnp.ones(encoder_hidden_states.shape[:2], jnp.int32)
-        cross_bias = invert_attention_mask(encoder_attention_mask)
+        # no mask given = attend the whole memory: keep the bias literally
+        # None (an all-zeros bias is semantically identical but blocks the
+        # flash-attention dispatch on the grouped ITM path)
+        cross_bias = (None if encoder_attention_mask is None
+                      else invert_attention_mask(encoder_attention_mask))
         enc = encoder_hidden_states if dtype is None else encoder_hidden_states.astype(dtype)
     else:
         cross_bias = None
@@ -285,6 +332,7 @@ def med_forward(
             return med_layer_forward(
                 layer, carry, self_bias, cfg,
                 encoder_hidden_states=enc, cross_bias=cross_bias, dtype=dtype,
+                group_size=group_size,
             )
         out = run(layer, carry)
         return out, None
