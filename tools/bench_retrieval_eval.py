@@ -1,0 +1,145 @@
+"""Benchmark: retrieval evaluation at the reference's msrvtt scale.
+
+Runs the full evaluation path of train_retrieval_video.py:83-192 — text
+features, video features, sims matmul, k_test ITM rerank in BOTH
+directions, R@k — at the reference's default scale (reference:
+configs/train_blip_video_retrieval_msrvtt*.yaml: num_frm_test 8,
+image_size 224; run at k_test=128 per VERDICT r1 item 8; the yaml default
+is 64) on N_VIDEOS videos x N_VIDEOS texts.
+
+Weights and frames are synthesized on device (tunnel-transfer-free, same
+rationale as bench.py); text tokens are tiny and upload normally. The
+number that matters is ITM rerank scorings/sec at the 8-frame
+(8*197+... = 1577-token) cross-attention memory, 2 * N * k_test scorings
+total.
+
+Prints ONE JSON line. Env knobs: N_VIDEOS (default 1000), K_TEST (128),
+ROWS (rows per rerank block, default 8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+N_VIDEOS = int(os.environ.get("N_VIDEOS", 1000))
+K_TEST = int(os.environ.get("K_TEST", 128))
+ROWS = int(os.environ.get("ROWS", 8))
+NUM_FRM = 8
+IMAGE_SIZE = 224
+
+
+def log(msg):
+    import sys
+
+    print(f"[bench_retrieval] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vidil_tpu.config import MedConfig, ViTConfig
+    from vidil_tpu.evals.retrieval import RetrievalEvaluator, itm_eval
+    from vidil_tpu.models.blip import init_blip_itm
+    from vidil_tpu.tokenizer import BlipTokenizer, write_test_vocab
+
+    import tempfile
+
+    vocab_path = os.path.join(tempfile.gettempdir(), "bench_vocab.txt")
+    write_test_vocab(vocab_path, [f"tok{i}" for i in range(30418)])
+    tok = BlipTokenizer(vocab_path)
+
+    vit_cfg = ViTConfig.from_name("base", IMAGE_SIZE)
+    med_cfg = MedConfig(vocab_size=tok.vocab_size)
+
+    log(f"device: {jax.devices()[0]}; {N_VIDEOS} videos x {NUM_FRM} frm, k_test={K_TEST}")
+    t = time.time()
+    shapes = jax.eval_shape(
+        lambda: init_blip_itm(jax.random.PRNGKey(0), vit_cfg, med_cfg, embed_dim=256))
+
+    def synth(shapes):
+        idx = [0]
+
+        def fill(path, leaf):
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            i = idx[0]
+            idx[0] += 1
+            if name == "scale":
+                return jnp.ones(leaf.shape, leaf.dtype)
+            if name == "bias":
+                return jnp.zeros(leaf.shape, leaf.dtype)
+            n = int(np.prod(leaf.shape)) if leaf.shape else 1
+            x = jnp.sin(jnp.arange(n, dtype=jnp.float32) * 12.9898 + i) * 0.05
+            return x.reshape(leaf.shape).astype(leaf.dtype)
+
+        return jax.tree_util.tree_map_with_path(fill, shapes)
+
+    params = jax.jit(lambda: synth(shapes))()
+    jax.block_until_ready(params)
+    log(f"on-device param synth: {time.time()-t:.1f}s")
+
+    ev = RetrievalEvaluator(params, vit_cfg, med_cfg, tok, k_test=K_TEST,
+                            rows_per_batch=ROWS)
+
+    # --- text side (1 caption per video, reference identity maps) ---
+    rng = np.random.RandomState(0)
+    texts = [" ".join(f"tok{j}" for j in rng.randint(0, 30000, size=9))
+             for _ in range(N_VIDEOS)]
+    t = time.time()
+    text_embeds, text_ids, text_atts = ev.compute_text_features(texts)
+    t_text = time.time() - t
+    log(f"text features: {N_VIDEOS} texts in {t_text:.1f}s")
+
+    # --- video side: frames synthesized on device, chunked ---
+    CHUNK = 25  # 25 videos x 8 frames = 200 frames per ViT dispatch
+
+    @jax.jit
+    def synth_frames(salt):
+        n = CHUNK * NUM_FRM * IMAGE_SIZE * IMAGE_SIZE * 3
+        x = jnp.sin(jnp.arange(n, dtype=jnp.float32) * 0.71 + salt)
+        return x.reshape(CHUNK, NUM_FRM, IMAGE_SIZE, IMAGE_SIZE, 3)
+
+    t = time.time()
+
+    def batches():
+        for i in range(N_VIDEOS // CHUNK):
+            yield synth_frames(jnp.float32(i))
+
+    video_feats, video_embeds = ev.compute_video_features(batches())
+    t_video = time.time() - t
+    log(f"video features: {N_VIDEOS * NUM_FRM} frames in {t_video:.1f}s "
+        f"({N_VIDEOS * NUM_FRM / t_video:.0f} f/s)")
+
+    # --- rerank both directions ---
+    t = time.time()
+    score_v2t, score_t2v = ev.score_matrices(video_feats, video_embeds,
+                                             text_embeds, text_ids, text_atts)
+    t_rerank = time.time() - t
+    n_scorings = 2 * N_VIDEOS * min(K_TEST, N_VIDEOS)
+    log(f"rerank: {n_scorings} ITM scorings in {t_rerank:.1f}s "
+        f"= {n_scorings / t_rerank:.0f}/s")
+
+    metrics = itm_eval(score_v2t, score_t2v,
+                       txt2vid=list(range(N_VIDEOS)), vid2txt=list(range(N_VIDEOS)))
+
+    print(json.dumps({
+        "metric": "retrieval_eval_itm_rerank_throughput",
+        "value": round(n_scorings / t_rerank, 1),
+        "unit": "ITM scorings/sec/chip",
+        "n_videos": N_VIDEOS, "k_test": K_TEST, "num_frm": NUM_FRM,
+        "image_size": IMAGE_SIZE,
+        "cross_attn_memory_tokens": NUM_FRM * ((IMAGE_SIZE // 16) ** 2 + 1),
+        "rerank_s": round(t_rerank, 1),
+        "video_feature_fps": round(N_VIDEOS * NUM_FRM / t_video, 1),
+        "text_feature_s": round(t_text, 1),
+        "r_mean_sanity": round(metrics["r_mean"], 2),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -24,7 +24,7 @@ from vidil_tpu.utils import get_rank, get_world_size, shard_range
 class RetrievalEvaluator:
     def __init__(self, params, vit_cfg: ViTConfig, med_cfg: MedConfig, tokenizer,
                  k_test: int = 64, dtype=jnp.bfloat16, rows_per_batch: int = 8,
-                 mesh=None):
+                 mesh=None, blocks_per_dispatch: int = 8):
         # mesh: optional ('data',...) Mesh — params replicated, batch inputs
         # sharded over 'data', one SPMD program over all local chips
         self.mesh = mesh
@@ -38,6 +38,7 @@ class RetrievalEvaluator:
         self.tok = tokenizer
         self.k_test = k_test
         self.rows_per_batch = rows_per_batch
+        self.blocks_per_dispatch = blocks_per_dispatch
 
         # params are explicit jit arguments (closure-captured trees get
         # serialized into remotely-compiled modules)
@@ -60,17 +61,24 @@ class RetrievalEvaluator:
             return video_feats, emb.astype(jnp.float32)
 
         # Both rerank directions keep ALL video features and text ids
-        # device-resident (uploaded once per eval); per block only tiny
-        # (R,) / (R, k) index arrays cross the host boundary and the
-        # k-fold expansion is an on-device gather/repeat. (A host-side
-        # np.repeat ships R*k full copies — gigabytes at k_test=64-128.)
+        # device-resident (uploaded once per eval, or left on device by
+        # compute_video_features); per block only tiny (R,) / (R, k) index
+        # arrays cross the host boundary.
+        #
+        # v2t: each video row scores k candidate texts against ONE video
+        # memory — grouped cross-attention (blip_itm_scores group_size=k)
+        # shares the (Lk, D) memory across the k texts, so the k-fold
+        # feature expansion never materializes (at msrvtt scale that
+        # expansion is R*k*1577*768 ≈ 2.5 GB per block and was the HBM
+        # peak). t2v pairs each text with k DIFFERENT videos, so the
+        # gather is unavoidable there and block rows are bounded instead.
         @jax.jit
         def _itm_v2t(params, video_feats, text_ids, text_atts, rows, topk):
             R, k = topk.shape
-            img = jnp.repeat(video_feats[rows], k, axis=0)
             flat = topk.reshape(-1)
-            logits = B.blip_itm_scores(params, img, text_ids[flat], text_atts[flat],
-                                       med_cfg, dtype=dtype)
+            logits = B.blip_itm_scores(params, video_feats[rows],
+                                       text_ids[flat], text_atts[flat],
+                                       med_cfg, dtype=dtype, group_size=k)
             return logits[:, 1].reshape(R, k)
 
         @jax.jit
@@ -81,6 +89,27 @@ class RetrievalEvaluator:
             mask = jnp.repeat(text_atts[rows], k, axis=0)
             logits = B.blip_itm_scores(params, img, ids, mask, med_cfg, dtype=dtype)
             return logits[:, 1].reshape(R, k)
+
+        # t2v, bucketed: the (text, video) pairs of this direction are
+        # regrouped BY VIDEO so each bucket's texts share one video memory
+        # via grouped cross-attention — same trick as v2t, recovered from
+        # an inverted index instead of the row structure.
+        @jax.jit
+        def _itm_t2v_grouped(params, video_feats, text_ids, text_atts, vids, txts):
+            R, G = txts.shape
+            flat = txts.reshape(-1)
+            logits = B.blip_itm_scores(params, video_feats[vids],
+                                       text_ids[flat], text_atts[flat],
+                                       med_cfg, dtype=dtype, group_size=G)
+            return logits[:, 1].reshape(R, G)
+
+        @jax.jit
+        def _itm_t2v_grouped_blocks(params, video_feats, text_ids, text_atts,
+                                    vids_b, txts_b):
+            return jax.lax.scan(
+                lambda _, vt: (None, _itm_t2v_grouped(params, video_feats, text_ids,
+                                                      text_atts, vt[0], vt[1])),
+                None, (vids_b, txts_b))[1]
 
         # all row-blocks of one direction in a single scanned program —
         # one dispatch per direction instead of one per R-row block
@@ -104,6 +133,7 @@ class RetrievalEvaluator:
         self._itm_t2v = lambda *a: _itm_t2v(self.params, *a)
         self._itm_v2t_blocks = lambda *a: _itm_v2t_blocks(self.params, *a)
         self._itm_t2v_blocks = lambda *a: _itm_t2v_blocks(self.params, *a)
+        self._itm_t2v_grouped_blocks = lambda *a: _itm_t2v_grouped_blocks(self.params, *a)
 
     def _put(self, x):
         if self.mesh is None:
@@ -127,15 +157,20 @@ class RetrievalEvaluator:
         return np.concatenate(embeds), text_ids, np.concatenate(atts)
 
     def compute_video_features(self, video_batches):
-        """video_batches: iterable of (B, N, S, S, C) normalized arrays."""
+        """video_batches: iterable of (B, N, S, S, C) normalized arrays.
+
+        Returns (video_feats [device array], video_embeds [host np]).
+        Features stay DEVICE-RESIDENT — the reference keeps them on-GPU
+        too (train_retrieval_video.py:114-133); pulling them to host and
+        re-uploading costs 2×~2.4 GB of link traffic at msrvtt scale."""
         feats, embeds = [], []
         for video in video_batches:
             f, e = self._video_side(self._put(video))
-            feats.append(np.asarray(f))
+            feats.append(f)
             embeds.append(np.asarray(e))
-        return np.concatenate(feats), np.concatenate(embeds)
+        return jnp.concatenate(feats), np.concatenate(embeds)
 
-    def _rerank_rows(self, sims, itm_blocks_fn):
+    def _rerank_rows(self, sims, itm_blocks_fn, rows_per_batch=None):
         """k_test rerank over this rank's row shard: host argsort picks each
         row's top-k (np.argsort[::-1], exact reference ordering,
         train_retrieval_video.py:146-180), then ALL R-row blocks run in one
@@ -143,7 +178,7 @@ class RetrievalEvaluator:
         (n_blocks, R, k)``."""
         n_rows, n_cols = sims.shape
         k = min(self.k_test, n_cols)
-        R = max(1, self.rows_per_batch)
+        R = max(1, rows_per_batch if rows_per_batch is not None else self.rows_per_batch)
         scores = np.full(sims.shape, -100.0, np.float32)
         start, end = shard_range(n_rows)
         rows_list, topk_list, reals = [], [], []
@@ -157,27 +192,98 @@ class RetrievalEvaluator:
             topk_list.append(np.argsort(sims[rows_arr], axis=1)[:, ::-1][:, :k].astype(np.int32))
         if not rows_list:
             return scores
-        itm = np.asarray(itm_blocks_fn(jnp.asarray(np.stack(rows_list)),
-                                       jnp.asarray(np.stack(topk_list))))
+        itm = self._dispatch_blocks(itm_blocks_fn,
+                                    np.stack(rows_list), np.stack(topk_list))
         for b, (rows_arr, topk_idx, real) in enumerate(zip(rows_list, topk_list, reals)):
             for j in range(real):
                 i = rows_arr[j]
                 scores[i, topk_idx[j]] = itm[b, j] + sims[i][topk_idx[j]]
         return scores
 
+    def _dispatch_blocks(self, blocks_fn, *stacked):
+        """Run stacked rerank blocks in bounded dispatches of
+        ``blocks_per_dispatch`` (last chunk padded by repetition, extra
+        results dropped). One scanned program over ALL blocks is a single
+        minutes-long device execution — long enough to trip worker
+        watchdogs at msrvtt scale — and a per-block dispatch pays one
+        host round-trip each; fixed-size chunks keep one compiled shape
+        with ~seconds-long executions."""
+        n_blocks = stacked[0].shape[0]
+        SB = max(1, self.blocks_per_dispatch)
+        outs = []
+        for off in range(0, n_blocks, SB):
+            chunk = [a[off:off + SB] for a in stacked]
+            real = chunk[0].shape[0]
+            if real < SB:
+                chunk = [np.concatenate([c, np.repeat(c[-1:], SB - real, axis=0)])
+                         for c in chunk]
+            out = np.asarray(blocks_fn(*(jnp.asarray(c) for c in chunk)))
+            outs.append(out[:real])
+        return np.concatenate(outs)
+
+    def _rerank_t2v_bucketed(self, sims, vf, tids, tatts):
+        """t2v rerank with pairs regrouped by video: invert each text row's
+        top-k video list into per-video text buckets, pad buckets to a
+        fixed group size, and score every bucket with grouped
+        cross-attention (one shared video memory per bucket). Identical
+        scores to the row-major t2v rerank — same pairs, same
+        itm_logit + sim formula — but the k-fold gather of (Lk, D) video
+        memories never materializes."""
+        from collections import defaultdict
+
+        n_rows, n_cols = sims.shape  # rows = texts, cols = videos
+        k = min(self.k_test, n_cols)
+        G = max(1, min(32, k))
+        R = max(1, self.rows_per_batch)
+        scores = np.full(sims.shape, -100.0, np.float32)
+        start, end = shard_range(n_rows)
+        if start >= end:
+            return scores
+        topk = np.argsort(sims[start:end], axis=1)[:, ::-1][:, :k]
+        per_video: dict[int, list[int]] = defaultdict(list)
+        for i, r in enumerate(range(start, end)):
+            for c in topk[i]:
+                per_video[int(c)].append(r)
+        bucket_vid, bucket_txt, bucket_real = [], [], []
+        for c in sorted(per_video):
+            rows = per_video[c]
+            for off in range(0, len(rows), G):
+                chunk = rows[off:off + G]
+                bucket_real.append(len(chunk))
+                chunk = chunk + [chunk[-1]] * (G - len(chunk))
+                bucket_vid.append(c)
+                bucket_txt.append(chunk)
+        nb = len(bucket_vid)
+        pad = (-nb) % R
+        bucket_vid += [bucket_vid[-1]] * pad
+        bucket_txt += [bucket_txt[-1]] * pad
+        bucket_real += [0] * pad
+        vids_b = np.asarray(bucket_vid, np.int32).reshape(-1, R)
+        txts_b = np.asarray(bucket_txt, np.int32).reshape(-1, R, G)
+        itm = self._dispatch_blocks(
+            lambda v, t: self._itm_t2v_grouped_blocks(vf, tids, tatts, v, t),
+            vids_b, txts_b)
+        flat = itm.reshape(-1, G)
+        for b in range(nb):
+            c = bucket_vid[b]
+            for j in range(bucket_real[b]):
+                r = bucket_txt[b][j]
+                scores[r, c] = flat[b, j] + sims[r, c]
+        return scores
+
     def score_matrices(self, video_feats, video_embeds, text_embeds, text_ids, text_atts):
         """Full v2t / t2v score matrices (reference :135-186)."""
-        sims = video_embeds @ text_embeds.T
+        sims = np.asarray(video_embeds) @ np.asarray(text_embeds).T
 
         # features + text ids live on device for the whole rerank
-        vf = self._put(np.asarray(video_feats))
+        vf = video_feats if isinstance(video_feats, jax.Array) else \
+            self._put(np.asarray(video_feats))
         tids = self._put(np.asarray(text_ids))
         tatts = self._put(np.asarray(text_atts))
 
         score_v2t = self._rerank_rows(
             sims, lambda rows_b, topk_b: self._itm_v2t_blocks(vf, tids, tatts, rows_b, topk_b))
-        score_t2v = self._rerank_rows(
-            sims.T, lambda rows_b, topk_b: self._itm_t2v_blocks(vf, tids, tatts, rows_b, topk_b))
+        score_t2v = self._rerank_t2v_bucketed(sims.T, vf, tids, tatts)
 
         if get_world_size() > 1:
             from jax.experimental import multihost_utils
