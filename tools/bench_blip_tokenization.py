@@ -1,0 +1,129 @@
+"""Benchmark: BLIP-mode visual-tokenization ITM rerank throughput.
+
+The stage's hot path (reference: run_visual_tokenization.py:277-293):
+per frame, the top k_test=128 ontology texts by cosine are rescored with
+the full ITM head over that frame's 577-token memory. Measures
+BlipTokenizationEngine.rerank_block at its real shapes — BLIP ViT-B/384,
+R frames per block — with the grouped cross-attention rerank (each
+frame's k texts share one memory; no k-fold feature expansion).
+
+Prints ONE JSON line. Env knobs: FRAMES (total, default 64), R (block
+rows, default 8), K_TEST (128).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+FRAMES = int(os.environ.get("FRAMES", 64))
+R = int(os.environ.get("R", 8))
+K_TEST = int(os.environ.get("K_TEST", 128))
+N_TEXTS = int(os.environ.get("N_TEXTS", 2048))
+IMAGE_SIZE = 384
+
+
+def log(msg):
+    import sys
+
+    print(f"[bench_blip_tok] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vidil_tpu.config import MedConfig, ViTConfig
+    from vidil_tpu.models.blip import init_blip_itm
+    from vidil_tpu.pipeline.visual_tokenization import BlipTokenizationEngine
+    from vidil_tpu.tokenizer import BlipTokenizer, write_test_vocab
+
+    import tempfile
+
+    vocab_path = os.path.join(tempfile.gettempdir(), "bench_vocab.txt")
+    write_test_vocab(vocab_path, [f"tok{i}" for i in range(30418)])
+    tok = BlipTokenizer(vocab_path)
+
+    vit_cfg = ViTConfig.from_name("base", IMAGE_SIZE)
+    med_cfg = MedConfig(vocab_size=tok.vocab_size)
+    log(f"device: {jax.devices()[0]}; {FRAMES} frames, k_test={K_TEST}, R={R}")
+
+    shapes = jax.eval_shape(
+        lambda: init_blip_itm(jax.random.PRNGKey(0), vit_cfg, med_cfg, embed_dim=256))
+
+    def synth(shapes):
+        idx = [0]
+
+        def fill(path, leaf):
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            i = idx[0]
+            idx[0] += 1
+            if name == "scale":
+                return jnp.ones(leaf.shape, leaf.dtype)
+            if name == "bias":
+                return jnp.zeros(leaf.shape, leaf.dtype)
+            n = int(np.prod(leaf.shape)) if leaf.shape else 1
+            x = jnp.sin(jnp.arange(n, dtype=jnp.float32) * 12.9898 + i) * 0.05
+            return x.reshape(leaf.shape).astype(leaf.dtype)
+
+        return jax.tree_util.tree_map_with_path(fill, shapes)
+
+    params = jax.jit(lambda: synth(shapes))()
+    jax.block_until_ready(params)
+
+    engine = BlipTokenizationEngine(params, vit_cfg, med_cfg, tok,
+                                    k_test=K_TEST, dtype=jnp.bfloat16)
+
+    rng = np.random.RandomState(0)
+    text_ids = rng.randint(4, 30000, size=(N_TEXTS, 35)).astype(np.int32)
+    text_ids[:, 0] = tok.enc_token_id
+    text_atts = np.ones((N_TEXTS, 35), np.int32)
+
+    # frame features synthesized on device, pulled once (matches the real
+    # stage, which embeds frames then reranks from host-held features)
+    P = vit_cfg.num_patches + 1
+
+    @jax.jit
+    def synth_feats():
+        n = FRAMES * P * vit_cfg.hidden_size
+        return (jnp.sin(jnp.arange(n, dtype=jnp.float32) * 0.37)
+                .reshape(FRAMES, P, vit_cfg.hidden_size) * 0.2)
+
+    image_feats = synth_feats()  # device-resident, as predict_videos keeps them
+    jax.block_until_ready(image_feats)
+    sims = rng.randn(FRAMES, N_TEXTS).astype(np.float32)
+
+    def run_all():
+        outs = []
+        for i in range(0, FRAMES, R):
+            outs.append(engine.rerank_block(sims[i:i + R], image_feats[i:i + R],
+                                            text_ids, text_atts))
+        return np.concatenate(outs)
+
+    t = time.time()
+    run_all()
+    log(f"warmup (compile): {time.time()-t:.1f}s")
+    times = []
+    for it in range(3):
+        t0 = time.perf_counter()
+        run_all()
+        times.append(time.perf_counter() - t0)
+        log(f"iter {it}: {times[-1]:.2f}s")
+    dt = float(np.median(times))
+    n_scorings = FRAMES * K_TEST
+    print(json.dumps({
+        "metric": "blip_tokenization_itm_rerank_throughput",
+        "value": round(FRAMES / dt, 2),
+        "unit": "frames/sec/chip",
+        "itm_scorings_per_sec": round(n_scorings / dt, 1),
+        "k_test": K_TEST, "frames": FRAMES, "block_rows": R,
+        "image_size": IMAGE_SIZE,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

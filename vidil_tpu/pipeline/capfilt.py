@@ -236,10 +236,30 @@ class CapFiltEngine:
             logits = B.blip_itm_scores(params, img, ids_rep, mask_rep, med_cfg, dtype=dtype)
             return jax.nn.softmax(logits, axis=1)[:, 1].reshape(n, F)
 
+        @jax.jit
+        def _itm_grouped_fn(params, frame_embeds, text_ids, text_mask):
+            """Grouped (text, frame) scoring: frame_embeds (V, F, P, D),
+            text_ids/mask (V, T, L) (texts padded per video) -> probs
+            (V, T, F). All T texts of a video share each frame's memory
+            via grouped cross-attention, so the per-frame cross-K/V
+            projections — the dominant ITM FLOPs — run once per frame
+            instead of once per (text, frame) pair."""
+            V, F = frame_embeds.shape[:2]
+            T, L = text_ids.shape[1:]
+            img = frame_embeds.reshape((V * F,) + frame_embeds.shape[2:])
+            # query rows ordered (v, f, t): group t-rows share frame (v, f)
+            ids = jnp.broadcast_to(text_ids[:, None], (V, F, T, L)).reshape(V * F * T, L)
+            mask = jnp.broadcast_to(text_mask[:, None], (V, F, T, L)).reshape(V * F * T, L)
+            logits = B.blip_itm_scores(params, img, ids, mask, med_cfg,
+                                       dtype=dtype, group_size=T)
+            probs = jax.nn.softmax(logits, axis=1)[:, 1].reshape(V, F, T)
+            return probs.transpose(0, 2, 1)  # (V, T, F)
+
         self._caption = _caption
         self._encode_filter_frames = lambda frames, num_frm: _encode_filter(
             self.filterer_params, frames, num_frm)
         self._itm_pairs = lambda *a: _itm_pairs_fn(self.filterer_params, *a)
+        self._itm_grouped = lambda *a: _itm_grouped_fn(self.filterer_params, *a)
 
     def _put(self, x):
         """Device placement honoring the mesh: shard dim 0 over 'data'
@@ -264,43 +284,45 @@ class CapFiltEngine:
 
     def filter_captions_batch(
         self, frame_embeds, texts_per_video: list[list[str]],
-        threshold: float, mode: str = "max_filter", pair_bucket: int = 32,
+        threshold: float, mode: str = "max_filter", text_bucket: int = 4,
     ) -> list[list[str]]:
         """Score all (text, frame) pairs of a chunk in one batched ITM call.
 
-        frame_embeds: (V, F, P, D) filterer ViT outputs — a DEVICE array;
-        the pair expansion runs on-chip and only the (n, F) probabilities
-        come back to the host.
+        frame_embeds: (V, F, P, D) filterer ViT outputs — a DEVICE array.
+        Texts are padded per video to a bucketed T and scored with grouped
+        cross-attention (all of a video's texts share each frame's memory:
+        the per-frame cross-K/V projections — the dominant ITM FLOPs —
+        run once per frame instead of once per pair). Only the (V, T, F)
+        probabilities come back to the host.
         """
         V, F = frame_embeds.shape[:2]
-        pairs = []  # (video_idx, text_idx, text)
-        for v, texts in enumerate(texts_per_video):
-            for t, text in enumerate(texts):
-                pairs.append((v, t, text))
-        if not pairs:
+        n_texts = [len(t) for t in texts_per_video]
+        T = _round_up(max(n_texts, default=0), text_bucket)
+        if T == 0:
             return [[] for _ in range(V)]
 
-        enc = self.tok([p[2] for p in pairs], padding="max_length", truncation=True,
+        flat = [text for texts in texts_per_video for text in texts]
+        enc = self.tok(flat, padding="max_length", truncation=True,
                        max_length=self.itm_max_text_len)
-        n = len(pairs)
-        n_pad = _round_up(n, pair_bucket)
-        ids = np.zeros((n_pad, enc.input_ids.shape[1]), np.int32)
+        L = enc.input_ids.shape[1]
+        ids = np.zeros((V, T, L), np.int32)
         mask = np.zeros_like(ids)
-        vid_idx = np.zeros((n_pad,), np.int32)
-        ids[:n] = enc.input_ids
-        mask[:n] = enc.attention_mask
-        mask[:n, 0] = 1  # [CLS] always attended
-        vid_idx[:n] = [p[0] for p in pairs]
+        pos = 0
+        for v, n in enumerate(n_texts):
+            ids[v, :n] = enc.input_ids[pos:pos + n]
+            mask[v, :n] = enc.attention_mask[pos:pos + n]
+            pos += n
+        mask[:, :, 0] = 1  # [CLS] always attended (incl. padded rows)
 
-        probs = np.asarray(self._itm_pairs(
-            frame_embeds, self._put(vid_idx), self._put(ids), self._put(mask)
-        ))[:n]
+        probs = np.asarray(self._itm_grouped(
+            frame_embeds, self._put(ids), self._put(mask)))  # (V, T, F)
 
-        agg = probs.max(axis=1) if mode == "max_filter" else probs.sum(axis=1) / F
+        agg = probs.max(axis=2) if mode == "max_filter" else probs.sum(axis=2) / F
         out: list[list[str]] = [[] for _ in range(V)]
-        for (v, t, text), p in zip(pairs, agg):
-            if p > threshold:
-                out[v].append(text)
+        for v, texts in enumerate(texts_per_video):
+            for t, text in enumerate(texts):
+                if agg[v, t] > threshold:
+                    out[v].append(text)
         return out
 
     def encode_filter_frames(self, frames_u8: np.ndarray, num_frm: int):

@@ -215,6 +215,8 @@ class ClipTokenizationEngine:
         self._sims = _sims
 
     def _put(self, x):
+        if isinstance(x, jax.Array):
+            return x  # already device-resident (e.g. embed_frames output)
         if self.mesh is None:
             return jnp.asarray(x)
         from vidil_tpu.parallel.mesh import batch_put
@@ -294,12 +296,13 @@ class BlipTokenizationEngine:
 
         @jax.jit
         def _itm(params, image_feats, ids, mask):
-            """image_feats (R, P, D), ids/mask (R*k, L): the k-fold feature
-            expansion happens ON DEVICE — only (R, P, D) crosses the host
-            boundary (a host-side np.repeat would ship R*k copies)."""
+            """image_feats (R, P, D), ids/mask (R*k, L): each frame's k
+            candidate texts share ONE frame memory via grouped
+            cross-attention (blip_itm_scores group_size=k) — the k-fold
+            feature expansion never materializes, on host or device."""
             k = ids.shape[0] // image_feats.shape[0]
-            img = jnp.repeat(image_feats, k, axis=0)
-            logits = BLIP.blip_itm_scores(params, img, ids, mask, med_cfg, dtype=dtype)
+            logits = BLIP.blip_itm_scores(params, image_feats, ids, mask, med_cfg,
+                                          dtype=dtype, group_size=k)
             return logits[:, 1]
 
         self._embed_texts = lambda ids, mask: _embed_texts(self.params, ids, mask)
@@ -308,6 +311,8 @@ class BlipTokenizationEngine:
         self._itm = lambda *a: _itm(self.params, *a)
 
     def _put(self, x):
+        if isinstance(x, jax.Array):
+            return x  # already device-resident (e.g. embed_frames output)
         if self.mesh is None:
             return jnp.asarray(x)
         from vidil_tpu.parallel.mesh import batch_put
@@ -339,8 +344,12 @@ class BlipTokenizationEngine:
         return embeds, text_ids, enc.attention_mask
 
     def embed_frames(self, frames_u8: np.ndarray):
+        """Returns (feats [DEVICE array], embeds [host np]). Features stay
+        device-resident for the rerank — pulling the (F, 577, 768) tensors
+        to host and re-uploading them per rerank block costs ~14 MB per
+        8-frame block per ontology category on the ingest link."""
         feats, emb = self._embed_frames_j(self._put(frames_u8))
-        return np.asarray(feats), np.asarray(emb)
+        return feats, np.asarray(emb)
 
     def score(self, image_embeds, text_embeds):
         return image_embeds @ text_embeds.T
@@ -363,7 +372,7 @@ class BlipTokenizationEngine:
         topk_idx = np.argsort(sims_rows, axis=1)[:, ::-1][:, :k]  # (R, k)
         flat = topk_idx.reshape(-1)
         scores = np.asarray(self._itm(
-            self._put(np.asarray(image_feats)), self._put(text_ids[flat]),
+            self._put(image_feats), self._put(text_ids[flat]),
             self._put(text_atts[flat])
         )).reshape(R, k)
         out = np.full(sims_rows.shape, -100.0, np.float32)
@@ -397,12 +406,14 @@ def predict_videos(
 
     # frame side: all videos in batched calls
     if blip_mode:
+        import jax.numpy as jnp
+
         feats_list, embeds_list = [], []
         for vid in video_ids:
             f, e = engine.embed_frames(video_frames[vid])
             feats_list.append(f)
             embeds_list.append(e)
-        image_feats = np.concatenate(feats_list)
+        image_feats = jnp.concatenate(feats_list)  # device-resident
         image_embeds = np.concatenate(embeds_list)
     else:
         image_embeds = np.concatenate([engine.embed_frames(video_frames[v]) for v in video_ids])
@@ -433,11 +444,11 @@ def predict_videos(
             for s in range(0, sims.shape[0], R):
                 e = min(sims.shape[0], s + R)
                 rows = sims[s:e]
-                feats = image_feats[s:e]
+                # pad via indices so the feature slice is one device gather
+                idx = list(range(s, e)) + [e - 1] * (R - (e - s))
+                feats = image_feats[np.asarray(idx, np.int32)]
                 if e - s < R:  # pad to keep one compiled shape
-                    pad = R - (e - s)
-                    rows = np.concatenate([rows, np.repeat(rows[-1:], pad, axis=0)])
-                    feats = np.concatenate([feats, np.repeat(feats[-1:], pad, axis=0)])
+                    rows = np.concatenate([rows, np.repeat(rows[-1:], R - (e - s), axis=0)])
                 blocks.append(engine.rerank_block(rows, feats, text_ids, text_atts)[: e - s])
             score = np.concatenate(blocks)
         else:
