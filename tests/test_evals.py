@@ -186,3 +186,42 @@ def test_score_matrices_matches_bruteforce():
         for j in topk:
             ref_t2v[i, j] = itm_one(video_feats[j], text_ids[i], text_atts[i]) + sims_t[i, j]
     np.testing.assert_allclose(t2v, ref_t2v, atol=2e-4)
+
+
+def test_score_matrices_chunked_dispatch_matches():
+    """blocks_per_dispatch=1 (max chunking, exercises the padded final
+    chunk and per-chunk repetition) must give identical score matrices."""
+    import jax
+
+    from vidil_tpu.config import MedConfig, ViTConfig
+    from vidil_tpu.evals.retrieval import RetrievalEvaluator
+    from vidil_tpu.models.blip import init_blip_itm
+
+    vit = ViTConfig(image_size=32, patch_size=16, hidden_size=32, num_layers=2, num_heads=4)
+    med = MedConfig(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                    intermediate_size=64, max_position_embeddings=64, encoder_width=32)
+    params = init_blip_itm(jax.random.PRNGKey(0), vit, med)
+
+    class FakeTok:
+        enc_token_id = 3
+
+        def __call__(self, texts, **kw):
+            raise NotImplementedError
+
+    rng = np.random.RandomState(0)
+    n_vid, n_txt, Lk, L = 6, 9, 10, 9
+    video_feats = rng.randn(n_vid, Lk, 32).astype(np.float32) * 0.2
+    video_embeds = rng.randn(n_vid, 8).astype(np.float32)
+    text_embeds = rng.randn(n_txt, 8).astype(np.float32)
+    text_ids = rng.randint(4, 64, size=(n_txt, L)).astype(np.int32)
+    text_ids[:, 0] = 3
+    text_atts = np.ones((n_txt, L), np.int32)
+
+    outs = []
+    for bpd in (1, 64):
+        ev = RetrievalEvaluator(params, vit, med, FakeTok(), k_test=4,
+                                rows_per_batch=4, dtype=None, blocks_per_dispatch=bpd)
+        outs.append(ev.score_matrices(video_feats, video_embeds, text_embeds,
+                                      text_ids, text_atts))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-6)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-6)
