@@ -47,10 +47,14 @@ def select_frame_and_sentence(filterer_params, frames, text: str, tokenizer,
 
     embeds = B.encode_images(filterer_params, jnp.asarray(frames), vit_cfg, dtype=dtype)
     n = len(sentences)
-    img = jnp.tile(embeds, (n, 1, 1))  # sentence-major: [s0f0..s0fN, s1f0..]
-    ids = jnp.repeat(jnp.asarray(enc.input_ids), num_frm, axis=0)
-    mask = jnp.repeat(jnp.asarray(enc.attention_mask), num_frm, axis=0)
-    logits = B.blip_itm_scores(filterer_params, img, ids, mask, med_cfg, dtype=dtype)
-    score = np.asarray(jax.nn.softmax(logits, axis=1)[:, 1])
+    # frame-major grouping: each frame's memory is shared by all n
+    # sentences via grouped cross-attention (no N*n tile of the embeds)
+    ids = jnp.tile(jnp.asarray(enc.input_ids), (num_frm, 1))
+    mask = jnp.tile(jnp.asarray(enc.attention_mask), (num_frm, 1))
+    logits = B.blip_itm_scores(filterer_params, embeds, ids, mask, med_cfg,
+                               dtype=dtype, group_size=n)
+    score_fm = np.asarray(jax.nn.softmax(logits, axis=1)[:, 1]).reshape(num_frm, n)
+    # back to the reference's sentence-major flat ordering (:60-62)
+    score = score_fm.T.ravel()
     idx = int(np.argmax(score))
     return frames[idx % num_frm], sentences[idx // num_frm]
