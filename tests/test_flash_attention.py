@@ -71,3 +71,25 @@ def test_flash_profitable_gate():
     # any bias forces the XLA path
     q, k = shaped(128, 12, 577, 577)
     assert not _flash_profitable(q, k, jnp.zeros((1, 1, 577, 577)))
+
+
+def test_flash_custom_vjp_matches_xla_grads(monkeypatch):
+    """flash_attention is differentiable (backward recomputes through the
+    XLA attention); grads must match jax.grad of dot_product_attention.
+    The kernel forward is forced through interpret mode on CPU."""
+    import vidil_tpu.ops.flash_attention as fa
+
+    orig = fa._flash_forward
+    monkeypatch.setattr(fa, "_flash_forward",
+                        lambda q, k, v, interpret=False: orig(q, k, v, interpret=True))
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(1, 2, 130, 32).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 2, 150, 32).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 2, 150, 32).astype(np.float32))
+
+    f = lambda q, k, v: jnp.sum(fa.flash_attention(q, k, v) ** 2)
+    g = lambda q, k, v: jnp.sum(dot_product_attention(q, k, v) ** 2)
+    gf = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    gg = jax.grad(g, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-4)

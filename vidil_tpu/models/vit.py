@@ -90,10 +90,11 @@ def attention(params, x, num_heads: int, dtype=None, use_flash: bool = True):
 
     use_flash enables the Pallas online-softmax kernel — the Apex-FMHA
     analogue (ops/flash_attention.py). Dispatch is shape-aware: the kernel
-    runs only where it measured faster than XLA (the 384px encode, whose
-    fp32 logits spill VMEM); 224px training shapes stay on XLA's fused
+    runs only where it measured faster than XLA (shapes whose fp32 logits
+    spill VMEM, e.g. the 384px encode); small shapes stay on XLA's fused
     attention, which wins there (tools/bench_attention.py numbers in
-    ARCHITECTURE.md)."""
+    ARCHITECTURE.md). Differentiable via a custom VJP (backward recomputes
+    through the XLA attention)."""
     qkv = linear(params["qkv"], x, dtype=dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q, k, v = (split_heads(t, num_heads) for t in (q, k, v))

@@ -25,9 +25,11 @@ Design (measured on TPU v5e, tools/bench_attention.py):
   lengths instead of fixed power-of-two tiles: 577 -> one 640 block, not
   two 512 blocks (a 78% padding blowup on the K side).
 
-Forward-only: the only shape where the kernel wins is inference (the 384px
-encode); the 224px training shapes stay on XLA's fused path, so no VJP is
-needed (ARCHITECTURE.md records the measurements).
+Differentiable: a custom VJP recomputes the backward through the XLA
+attention (same math to ~1 bf16 ulp), so training shapes that cross the
+dispatch gate (batches >= ~29 videos at 224px) get the kernel forward and
+a correct gradient; small training shapes stay entirely on XLA's fused
+path, which wins there (ARCHITECTURE.md records the measurements).
 """
 
 from __future__ import annotations
@@ -117,14 +119,44 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int,
         o_ref[h] = (acc / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def flash_attention(q, k, v, interpret: bool = False):
     """Tiled attention: q (B, H, Lq, D), k/v (B, H, Lk, D) -> (B, H, Lq, D).
 
     No mask support (the framework's hot path — ViT self-attention —
     attends a full all-ones mask); fp32 softmax statistics, bf16 MXU
     matmuls, output in q.dtype.
+
+    Differentiable: the backward recomputes through the XLA attention
+    (numerically the same function to ~1 bf16 ulp), so large-batch
+    training shapes that cross the dispatch gate still train — the
+    kernel forward is what's worth having (the gate only fires where
+    XLA's forward is HBM-bound on spilled logits).
     """
+    if interpret:  # debug/CPU path, never differentiated
+        return _flash_forward(q, k, v, interpret=True)
+    return _flash_diff(q, k, v)
+
+
+@jax.custom_vjp
+def _flash_diff(q, k, v):
+    return _flash_forward(q, k, v)
+
+
+def _flash_vjp_fwd(q, k, v):
+    return _flash_forward(q, k, v), (q, k, v)
+
+
+def _flash_vjp_bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: dot_product_attention(q, k, v), q, k, v)
+    return vjp(g.astype(q.dtype))
+
+
+_flash_diff.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _flash_forward(q, k, v, interpret: bool = False):
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     q = q * jnp.asarray(1.0 / math.sqrt(D), q.dtype)  # pre-scale on (Lq, D)
