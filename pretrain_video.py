@@ -48,7 +48,9 @@ def main(args, config):
     queue_size -= queue_size % B
     state = create_pretrain_state(jax.random.PRNGKey(args.seed), vit_cfg, med_cfg, optimizer,
                                   queue_size=queue_size)
-    step_fn = jax.jit(make_pretrain_step(vit_cfg, med_cfg, optimizer, dtype=jnp.bfloat16))
+    # donated state: old/new train states never coexist in HBM
+    step_fn = jax.jit(make_pretrain_step(vit_cfg, med_cfg, optimizer, dtype=jnp.bfloat16),
+                      donate_argnums=0)
 
     start_epoch = 0
     resume_path = config.get("resume", "")

@@ -1,0 +1,110 @@
+"""Benchmark: retrieval fine-tune train-step throughput vs batch size.
+
+One full BLIP retrieval training step (ViT-B/224 with remat, ITA + ITM +
+momentum distillation + queue update, AdamW) at the reference's per-GPU
+batch (8 videos x 4 frames; reference:
+configs/train_blip_video_retrieval_msrvtt_pseudo.yaml) and at larger
+batches to show the single-chip scaling headroom.
+
+Prints one JSON line per batch size. Env: BATCHES (comma list, default
+"8,16,32"), ITERS (default 8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+BATCHES = [int(b) for b in os.environ.get("BATCHES", "8,16,32").split(",")]
+ITERS = int(os.environ.get("ITERS", 8))
+NUM_FRM = 4
+IMAGE_SIZE = 224
+
+
+def log(msg):
+    import sys
+
+    print(f"[bench_train] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vidil_tpu.config import MedConfig, ViTConfig
+    from vidil_tpu.train.retrieval import (
+        create_train_state,
+        make_optimizer,
+        make_retrieval_train_step,
+    )
+
+    vit_cfg = ViTConfig.from_name("base", IMAGE_SIZE, remat=True)
+    med_cfg = MedConfig(vocab_size=30524)
+    log(f"device: {jax.devices()[0]}")
+
+    opt = make_optimizer(1e-5)
+    t = time.time()
+    state_shapes = jax.eval_shape(
+        lambda: create_train_state(jax.random.PRNGKey(0), vit_cfg, med_cfg, opt,
+                                   embed_dim=256, queue_size=57600))
+    idx = [0]
+
+    def fill(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        i = idx[0]
+        idx[0] += 1
+        if not jnp.issubdtype(leaf.dtype, jnp.floating):
+            return jnp.zeros(leaf.shape, leaf.dtype)
+        if name == "scale":
+            return jnp.ones(leaf.shape, leaf.dtype)
+        if name == "bias":
+            return jnp.zeros(leaf.shape, leaf.dtype)
+        n = int(np.prod(leaf.shape)) if leaf.shape else 1
+        x = jnp.sin(jnp.arange(n, dtype=jnp.float32) * 12.9898 + i) * 0.02
+        return x.reshape(leaf.shape).astype(leaf.dtype)
+
+    state = jax.jit(lambda: jax.tree_util.tree_map_with_path(fill, state_shapes))()
+    jax.block_until_ready(state)
+    log(f"on-device state synth: {time.time()-t:.1f}s")
+    # donated state (as the trainer CLIs run it): old/new states never
+    # coexist — without this the ~3.8 GB state exists 2-3x and B=8 OOMs
+    step = jax.jit(make_retrieval_train_step(vit_cfg, med_cfg, opt), donate_argnums=0)
+
+    for B in BATCHES:
+        rng = np.random.RandomState(0)
+        ids = rng.randint(4, 30000, size=(B, 35)).astype(np.int32)
+        enc = ids.copy()
+        enc[:, 0] = 3
+        batch = {
+            "video": jnp.asarray(rng.randn(B, NUM_FRM, IMAGE_SIZE, IMAGE_SIZE, 3)
+                                 .astype(np.float32) * 0.1),
+            "text_ids": jnp.asarray(ids),
+            "enc_ids": jnp.asarray(enc),
+            "text_mask": jnp.ones((B, 35), jnp.int32),
+            "idx": jnp.arange(B, dtype=jnp.int32),
+        }
+        t = time.time()
+        state, metrics = step(state, batch, 0.4, jax.random.PRNGKey(0))
+        loss0 = float(metrics["loss"])
+        log(f"B={B} warmup (compile): {time.time()-t:.1f}s loss={loss0:.3f}")
+        ts = []
+        for it in range(ITERS):
+            t0 = time.perf_counter()
+            state, metrics = step(state, batch, 0.4, jax.random.PRNGKey(it))
+            _ = float(metrics["loss"])  # sync
+            ts.append(time.perf_counter() - t0)
+        dt = float(np.median(ts))
+        print(json.dumps({
+            "metric": "retrieval_train_step",
+            "batch_videos": B, "num_frm": NUM_FRM, "image_size": IMAGE_SIZE,
+            "s_per_step": round(dt, 4),
+            "frames_per_sec": round(B * NUM_FRM / dt, 1),
+            "device": str(jax.devices()[0]),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -127,8 +127,10 @@ def main(args, config):
 
     optimizer = make_optimizer(config["init_lr"], config.get("weight_decay", 0.05))
     state = create_caption_train_state(params, optimizer)
+    # donated state: old/new train states never coexist in HBM
     train_step = jax.jit(make_caption_train_step(
-        vit_cfg, med_cfg, optimizer, prompt_length, dtype=jnp.bfloat16))
+        vit_cfg, med_cfg, optimizer, prompt_length, dtype=jnp.bfloat16),
+        donate_argnums=0)
 
     # 'single_frame' mode: pick the best-matching frame per caption with the
     # ITM filterer (reference: train_caption_video.py:30-36,137-143)

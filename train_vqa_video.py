@@ -66,7 +66,9 @@ def main(args, config):
 
     optimizer = make_optimizer(config["init_lr"], config.get("weight_decay", 0.05))
     state = create_vqa_train_state(params, optimizer)
-    train_step = jax.jit(make_vqa_train_step(vit_cfg, med_cfg, optimizer, dtype=jnp.bfloat16))
+    # donated state: old/new train states never coexist in HBM
+    train_step = jax.jit(make_vqa_train_step(vit_cfg, med_cfg, optimizer, dtype=jnp.bfloat16),
+                         donate_argnums=0)
 
     def tokenize_questions(questions):
         enc = tokenizer(questions, padding="max_length", truncation=True, max_length=35)

@@ -50,8 +50,11 @@ def init_retrieval_params(key, vit_cfg: ViTConfig, med_cfg: MedConfig, embed_dim
 
 def init_momentum_params(params):
     """Momentum copies of the four encoder/projection towers (reference
-    :323-334, copy_params :521-527)."""
-    return {k: jax.tree.map(lambda x: x, params[k]) for k in MOMENTUM_KEYS}
+    :323-334, copy_params :521-527). Real copies, not aliases: the train
+    state donates its buffers, and a donated buffer may appear only once
+    in the argument list."""
+    return {k: jax.tree.map(lambda x: jnp.array(x, copy=True), params[k])
+            for k in MOMENTUM_KEYS}
 
 
 def init_queue(key, embed_dim: int, queue_size: int) -> QueueState:
