@@ -83,6 +83,8 @@ class MedConfig:
     pad_token_id: int = 0
     hidden_act: str = "gelu"
     label_smoothing: float = 0.1
+    remat: bool = False  # jax.checkpoint on the scanned layer body
+    # (training-time memory/compute trade; train steps enable it)
 
     @classmethod
     def from_json(cls, path: str, **overrides) -> "MedConfig":

@@ -334,6 +334,11 @@ def med_forward(
                 encoder_hidden_states=enc, cross_bias=cross_bias, dtype=dtype,
                 group_size=group_size,
             )
+        if cfg.remat:
+            # recompute the layer in the backward instead of saving its
+            # activations — the all-layer (L, B, Lq, D) stacks the scan
+            # otherwise saves are what blow HBM at large train batches
+            run = jax.checkpoint(run)
         out = run(layer, carry)
         return out, None
 

@@ -29,7 +29,8 @@ def create_caption_train_state(params, optimizer) -> CaptionTrainState:
 
 def make_caption_train_step(vit_cfg: ViTConfig, med_cfg: MedConfig, optimizer,
                             prompt_length: int, dtype=None,
-                            video_representation: str = "concat_frame"):
+                            video_representation: str = "concat_frame",
+                            med_remat: bool = True):
     """step(state, batch) -> (state, metrics).
 
     batch: video (B, N, S, S, C) normalized, input_ids (B, L) starting with
@@ -37,6 +38,18 @@ def make_caption_train_step(vit_cfg: ViTConfig, med_cfg: MedConfig, optimizer,
     frame as N == 1.
     """
 
+    # training default: rematerialize the MED layer scans — the saved
+    # (L, B, Lq, D) activation stacks are what blow HBM at large batches
+    if med_remat and not med_cfg.remat:
+        import dataclasses
+
+        med_cfg = dataclasses.replace(med_cfg, remat=True)
+    # attention under autodiff is cheapest entirely on XLA (the Pallas
+    # kernel's VJP recomputes through XLA anyway, paying a third pass)
+    if vit_cfg.use_flash:
+        import dataclasses
+
+        vit_cfg = dataclasses.replace(vit_cfg, use_flash=False)
     def train_step(state: CaptionTrainState, batch):
         def loss_fn(params):
             embeds = B.encode_video_frames(params, batch["video"], vit_cfg, dtype=dtype)

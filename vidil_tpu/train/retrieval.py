@@ -57,13 +57,26 @@ def make_optimizer(init_lr: float, weight_decay: float = 0.05):
 
 
 def make_retrieval_train_step(vit_cfg: ViTConfig, med_cfg: MedConfig, optimizer,
-                              momentum: float = 0.995, dtype=None):
+                              momentum: float = 0.995, dtype=None,
+                              med_remat: bool = True):
     """Build the jittable train step.
 
     step(state, batch, alpha, rng) -> (state, metrics)
     batch: video (B,N,S,S,C), text_ids/enc_ids/text_mask (B,L), idx (B,)
     """
 
+    # training default: rematerialize the MED layer scans — the saved
+    # (L, B, Lq, D) activation stacks are what blow HBM at large batches
+    if med_remat and not med_cfg.remat:
+        import dataclasses
+
+        med_cfg = dataclasses.replace(med_cfg, remat=True)
+    # attention under autodiff is cheapest entirely on XLA (the Pallas
+    # kernel's VJP recomputes through XLA anyway, paying a third pass)
+    if vit_cfg.use_flash:
+        import dataclasses
+
+        vit_cfg = dataclasses.replace(vit_cfg, use_flash=False)
     def train_step(state: RetrievalTrainState, batch, alpha, rng):
         def loss_fn(params):
             loss_ita, loss_itm, aux = retrieval_loss(

@@ -23,7 +23,8 @@ def create_vqa_train_state(params, optimizer) -> VQATrainState:
     return VQATrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
 
-def make_vqa_train_step(vit_cfg: ViTConfig, med_cfg: MedConfig, optimizer, dtype=None):
+def make_vqa_train_step(vit_cfg: ViTConfig, med_cfg: MedConfig, optimizer, dtype=None,
+                        med_remat: bool = True):
     """step(state, batch) -> (state, metrics).
 
     batch: video (B, N, S, S, C), question_ids/question_mask (B, Lq) with
@@ -31,6 +32,18 @@ def make_vqa_train_step(vit_cfg: ViTConfig, med_cfg: MedConfig, optimizer, dtype
     per-question answers, answer_question_index (A,), weights (A,).
     """
 
+    # training default: rematerialize the MED layer scans — the saved
+    # (L, B, Lq, D) activation stacks are what blow HBM at large batches
+    if med_remat and not med_cfg.remat:
+        import dataclasses
+
+        med_cfg = dataclasses.replace(med_cfg, remat=True)
+    # attention under autodiff is cheapest entirely on XLA (the Pallas
+    # kernel's VJP recomputes through XLA anyway, paying a third pass)
+    if vit_cfg.use_flash:
+        import dataclasses
+
+        vit_cfg = dataclasses.replace(vit_cfg, use_flash=False)
     def train_step(state: VQATrainState, batch):
         B_ = batch["video"].shape[0]
 
