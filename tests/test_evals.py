@@ -225,3 +225,42 @@ def test_score_matrices_chunked_dispatch_matches():
                                       text_ids, text_atts))
     np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-6)
     np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-6)
+
+
+def test_t2v_bucketed_matches_row_major():
+    """The video-bucketed t2v rerank must equal the row-major t2v rerank
+    (same pairs, same itm+sim formula, different grouping)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vidil_tpu.config import MedConfig, ViTConfig
+    from vidil_tpu.evals.retrieval import RetrievalEvaluator
+    from vidil_tpu.models.blip import init_blip_itm
+
+    vit = ViTConfig(image_size=32, patch_size=16, hidden_size=32, num_layers=2, num_heads=4)
+    med = MedConfig(vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+                    intermediate_size=64, max_position_embeddings=64, encoder_width=32)
+    params = init_blip_itm(jax.random.PRNGKey(0), vit, med)
+
+    class FakeTok:
+        enc_token_id = 3
+
+        def __call__(self, texts, **kw):
+            raise NotImplementedError
+
+    ev = RetrievalEvaluator(params, vit, med, FakeTok(), k_test=3,
+                            rows_per_batch=2, dtype=None)
+    rng = np.random.RandomState(7)
+    n_vid, n_txt, Lk, L = 5, 8, 10, 9
+    video_feats = jnp.asarray(rng.randn(n_vid, Lk, 32).astype(np.float32) * 0.2)
+    sims = rng.randn(n_txt, n_vid).astype(np.float32)
+    text_ids = rng.randint(4, 64, size=(n_txt, L)).astype(np.int32)
+    text_ids[:, 0] = 3
+    text_atts = np.ones((n_txt, L), np.int32)
+    tids, tatts = jnp.asarray(text_ids), jnp.asarray(text_atts)
+
+    bucketed = ev._rerank_t2v_bucketed(sims, video_feats, tids, tatts)
+    row_major = ev._rerank_rows(
+        sims, lambda rows_b, topk_b: ev._itm_t2v_blocks(video_feats, tids, tatts,
+                                                        rows_b, topk_b))
+    np.testing.assert_allclose(bucketed, row_major, atol=1e-5)
