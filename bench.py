@@ -57,6 +57,10 @@ def log(msg):
 
 
 def main():
+    # persist compiled executables across runs (first compile of the beam
+    # program is minutes; cached launches skip it entirely)
+    _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                           _os.path.expanduser("~/.cache/vidil_tpu_jaxcache"))
     import jax
     import jax.numpy as jnp
 
