@@ -66,6 +66,12 @@ def test_flash_profitable_gate():
     assert _flash_profitable(*shaped(128, 12, 577, 577), None)
     # ViT-B/224 train shape (59 MB logits, XLA fuses in VMEM): off
     assert not _flash_profitable(*shaped(32, 12, 197, 197), None)
+    # CLIP-L/14 at 128 frames (541 MB logits, both axes short): off
+    assert not _flash_profitable(*shaped(128, 16, 257, 257), None)
+    # grouped-rerank fold (long query axis): on
+    assert _flash_profitable(*shaped(8, 12, 4480, 577), None)
+    # CapFilt filter fold (short queries over a long memory): on
+    assert _flash_profitable(*shaped(128, 12, 140, 640), None)
     # single-query decode step: off regardless of memory size
     assert not _flash_profitable(*shaped(96, 12, 1, 2308), None)
     # any bias forces the XLA path

@@ -94,7 +94,13 @@ def _tower(params, x, bias, num_heads: int, eps: float, act, dtype=None):
         q = split_heads(linear(layer["attn"]["query"], h, dtype=dtype), num_heads)
         k = split_heads(linear(layer["attn"]["key"], h, dtype=dtype), num_heads)
         v = split_heads(linear(layer["attn"]["value"], h, dtype=dtype), num_heads)
-        ctx = merge_heads(dot_product_attention(q, k, v, bias=bias))
+        # attention_auto: the vision tower (bias None) takes the Pallas
+        # flash kernel at batches where the fp32 logits spill VMEM
+        # (CLIP-L/14 at 128 frames: 541 MB/layer); the causally-masked
+        # text tower and small batches stay on XLA's fused path
+        from vidil_tpu.ops.flash_attention import attention_auto
+
+        ctx = merge_heads(attention_auto(q, k, v, bias=bias))
         carry = carry + linear(layer["attn"]["out"], ctx, dtype=dtype)
         h = layer_norm(layer["norm2"], carry, eps)
         h = linear(layer["mlp"]["fc1"], h, dtype=dtype)

@@ -207,11 +207,17 @@ def _flash_forward(q, k, v, interpret: bool = False):
 
 def _flash_profitable(q, k, bias) -> bool:
     """Kernel dispatch rule, from measurement (tools/bench_attention.py):
-    Pallas wins only when the fp32 logits would spill out of VMEM; XLA's
-    fused attention wins otherwise (including every Lq==1 decode step)."""
+    Pallas wins only when the fp32 logits would spill out of VMEM AND the
+    query axis is long enough that the 128-lane padding doesn't dominate
+    (ViT-B/384's 577 and the grouped-rerank folds win; CLIP-L's 257x257
+    measured slower than XLA even at 541 MB of spilled logits, while the
+    CapFilt filter fold — 140 queries over a 577-token memory — wins).
+    Empirical rule: spilled logits AND a >=512-long axis on either side.
+    XLA wins otherwise (including every Lq==1 decode step)."""
     B, H, Lq, _ = q.shape
     Lk = k.shape[2]
-    return (bias is None and Lq >= 128 and q.shape[-1] <= 256
+    return (bias is None and Lq >= 128 and (Lq >= 512 or Lk >= 512)
+            and q.shape[-1] <= 256
             and B * H * Lq * Lk * 4 >= _LOGITS_SPILL_BYTES)
 
 
