@@ -250,3 +250,41 @@ def test_preprocess_matches_torchvision():
     got = ((got_u8.astype(np.float32) / 255.0 - np.asarray(CLIP_MEAN))
            / np.asarray(CLIP_STD)).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_grouped_filter_matches_pair_scoring(engine):
+    """The grouped ITM filter (texts of a video share each frame's memory)
+    must reproduce the per-pair scoring path's probabilities."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(5)
+    V, F = 3, 4
+    frames = rng.randint(0, 256, size=(V * F, 32, 32, 3)).astype(np.uint8)
+    fe = engine.encode_filter_frames(frames, F)  # (V, F, P, D)
+
+    texts = [["a dog", "original caption 0"], ["a cat"], ["a bird", "a dog", "a cat"]]
+    n_texts = [len(t) for t in texts]
+    flat = [t for ts in texts for t in ts]
+    enc = engine.tok(flat, padding="max_length", truncation=True,
+                     max_length=engine.itm_max_text_len)
+    vid_idx = np.repeat(np.arange(V), n_texts).astype(np.int32)
+    mask = enc.attention_mask.copy()
+    mask[:, 0] = 1
+    pair_probs = np.asarray(engine._itm_pairs(
+        fe, jnp.asarray(vid_idx), jnp.asarray(enc.input_ids), jnp.asarray(mask)))
+
+    grouped = engine.filter_captions_batch(fe, texts, threshold=-1.0)
+    assert grouped == texts  # threshold -1 keeps everything
+
+    # compare the aggregated max probs against a thresholded rerun
+    agg = pair_probs.max(axis=1)
+    thresh = float(np.median(agg))
+    expect = []
+    pos = 0
+    for v, ts in enumerate(texts):
+        keep = [t for j, t in enumerate(ts) if agg[pos + j] > thresh]
+        expect.append(keep)
+        pos += len(ts)
+    got = engine.filter_captions_batch(fe, texts, threshold=thresh)
+    assert got == expect
