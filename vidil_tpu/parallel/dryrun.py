@@ -1,0 +1,165 @@
+"""Multi-chip dry run, executed in a FRESH subprocess.
+
+The driver validates the framework's multi-chip story by calling
+``__graft_entry__.dryrun_multichip(n)`` in a process whose JAX backend
+state is unknown — it may already have initialized an (possibly
+unhealthy) tunneled TPU, in which case no amount of in-process
+``jax.config.update("jax_platforms", "cpu")`` can redirect eager ops.
+So the parent (``__graft_entry__.dryrun_multichip``) spawns THIS module
+as ``python -m vidil_tpu.parallel.dryrun N`` with a scrubbed
+environment; ``main()`` pins the CPU platform and provisions N virtual
+CPU devices as its *first* statements, before any other JAX API call.
+
+Two phases, mirroring the reference's two distributed modes:
+
+1. SPMD training — one full BLIP video-retrieval train step (ITA + ITM
+   losses, AdamW update, momentum-encoder update, feature-queue update)
+   over a ('data', 'model') mesh with real dp + tp shardings
+   (reference: models/blip_retrieval.py:576-622 collective semantics,
+   train_retrieval_video.py:36-81).
+2. SPMD inference — a CapFiltEngine chunk sharded over the 'data' axis,
+   asserted byte-identical to the single-device engine (reference's
+   rank-sharded inference contract, run_video_CapFilt.py:237-291).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+
+def _pin_cpu(n_devices: int) -> None:
+    """Force the CPU platform with ``n_devices`` virtual devices.
+
+    MUST run before any JAX API that initializes a backend. Sets both
+    the env vars (honored by a fresh process) and the config (honored
+    even when a platform plugin on PYTHONPATH ignores JAX_PLATFORMS).
+    """
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={n_devices}"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_num_cpu_devices", n_devices)
+    except Exception:
+        pass  # older jax: XLA_FLAGS alone provisions the devices
+
+
+def _train_phase(n_devices: int) -> None:
+    import numpy as np
+
+    import jax
+
+    from vidil_tpu.config import MedConfig, ViTConfig
+    from vidil_tpu.parallel import make_mesh, shard_params
+    from vidil_tpu.parallel.mesh import shard_batch
+    from vidil_tpu.train.retrieval import (
+        create_train_state,
+        make_optimizer,
+        make_retrieval_train_step,
+    )
+
+    vit_cfg = ViTConfig(image_size=32, patch_size=16, hidden_size=64, num_layers=2, num_heads=4)
+    med_cfg = MedConfig(vocab_size=96, hidden_size=64, num_layers=2, num_heads=4,
+                        intermediate_size=128, max_position_embeddings=64, encoder_width=64)
+
+    devices = jax.local_devices(backend="cpu")
+    assert len(devices) >= n_devices, f"need {n_devices} CPU devices, have {len(devices)}"
+    model = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
+    mesh = make_mesh(data=n_devices // model, model=model, devices=devices[:n_devices])
+
+    opt = make_optimizer(1e-4)
+    state = create_train_state(jax.random.PRNGKey(0), vit_cfg, med_cfg, opt,
+                               embed_dim=16, queue_size=64)
+    step = make_retrieval_train_step(vit_cfg, med_cfg, opt)
+
+    B = 2 * n_devices  # batch divisible by the data axis
+    rng = np.random.RandomState(0)
+    ids = rng.randint(4, med_cfg.vocab_size, size=(B, 12)).astype(np.int32)
+    enc = ids.copy()
+    enc[:, 0] = 3
+    batch = {
+        "video": rng.randn(B, 2, 32, 32, 3).astype(np.float32) * 0.1,
+        "text_ids": ids,
+        "enc_ids": enc,
+        "text_mask": np.ones((B, 12), np.int32),
+        "idx": np.arange(B, dtype=np.int32),
+    }
+
+    with mesh:
+        sharded = state._replace(params=shard_params(state.params, mesh),
+                                 params_m=shard_params(state.params_m, mesh))
+        new_state, metrics = jax.jit(step)(sharded, shard_batch(mesh, batch), 0.4,
+                                           jax.random.PRNGKey(1))
+        loss = float(metrics["loss"])
+    assert np.isfinite(loss), f"non-finite loss: {loss}"
+    assert int(new_state.step) == 1
+    print(f"dryrun_multichip({n_devices}) ok: mesh={dict(mesh.shape)} loss={loss:.4f}",
+          flush=True)
+
+
+def _capfilt_phase(n_devices: int) -> None:
+    import tempfile
+
+    import numpy as np
+
+    import jax
+    from jax.sharding import Mesh
+
+    from vidil_tpu.config import MedConfig, ViTConfig
+    from vidil_tpu.models.blip import init_blip_decoder, init_blip_itm
+    from vidil_tpu.pipeline.capfilt import CapFiltEngine
+    from vidil_tpu.tokenizer import BlipTokenizer, write_test_vocab
+
+    vit_cfg = ViTConfig(image_size=32, patch_size=16, hidden_size=32, num_layers=2, num_heads=4)
+    med_cfg = MedConfig(vocab_size=137, hidden_size=32, num_layers=2, num_heads=4,
+                        intermediate_size=64, max_position_embeddings=64, encoder_width=32)
+    words = ["a", "picture", "of", "video", "man", "dog", "cat", "runs", "plays",
+             "beach", "park", "the", "on", "in", "guitar", "ball", "red", "blue",
+             "big", "small", "walks", "jumps", "sits", "eats", "food", "water",
+             "tree", "house", "car", "street", "sky"]
+    with tempfile.TemporaryDirectory() as td:
+        vocab = os.path.join(td, "vocab.txt")
+        write_test_vocab(vocab, words)
+        tok = BlipTokenizer(vocab)
+    assert tok.vocab_size == med_cfg.vocab_size
+
+    cap = init_blip_decoder(jax.random.PRNGKey(0), vit_cfg, med_cfg)
+    fil = init_blip_itm(jax.random.PRNGKey(1), vit_cfg, med_cfg)
+    kw = dict(num_beams=3, max_length=16, min_length=5, dtype=None)
+    single = CapFiltEngine(cap, fil, tok, vit_cfg, med_cfg, **kw)
+
+    devs = np.asarray(jax.local_devices(backend="cpu")[:n_devices]).reshape(n_devices)
+    mesh = Mesh(devs, ("data",))
+    meshed = CapFiltEngine(cap, fil, tok, vit_cfg, med_cfg, mesh=mesh, **kw)
+
+    rng = np.random.RandomState(3)
+    frames = rng.randint(0, 256, size=(4, 32, 32, 3), dtype=np.uint8)
+    chunk = [{"video_id": f"v{i}", "frames": np.roll(frames, i, axis=0),
+              "text": ["a man plays a guitar"]} for i in range(n_devices)]
+    config = dict(caption=True, filter=True, filter_generated_only=False,
+                  keep_original_caption=True, threshold=0.0,
+                  filter_mode="max_filter", generation_mode="beam",
+                  do_sentence_tokenization=False)
+    a = single.run_chunk(chunk, config)
+    b = meshed.run_chunk(chunk, config)
+    for ra, rb in zip(a, b):
+        assert ra == rb, f"mesh-sharded CapFilt diverged on {ra.video_id}: {ra} != {rb}"
+    print(f"dryrun_multichip({n_devices}) capfilt ok: {len(chunk)} videos "
+          f"byte-identical on a {n_devices}-device data mesh", flush=True)
+
+
+def main(n_devices: int) -> None:
+    _pin_cpu(n_devices)
+    _train_phase(n_devices)
+    _capfilt_phase(n_devices)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
