@@ -20,13 +20,22 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-# Rebuild the native decode library when its source is newer than the
-# checked-in .so (a stale binary once shipped without a new export and
-# only the test suite caught it).
+# Rebuild the native decode library when any native source/build input is
+# newer than the checked-in .so (a stale binary once shipped without a new
+# export and only the test suite caught it). A failed rebuild must fail
+# loudly — silently testing against the stale .so is the exact condition
+# this guard exists to catch.
 _root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_src = os.path.join(_root, "native", "video_decode.cpp")
 _so = os.path.join(_root, "native", "build", "libvidil_decode.so")
-if os.path.exists(_src) and os.path.exists(_so) and os.path.getmtime(_src) > os.path.getmtime(_so):
+_inputs = [os.path.join(_root, "tools", "build_native.sh")]
+_native_dir = os.path.join(_root, "native")
+if os.path.isdir(_native_dir):
+    _inputs += [os.path.join(_native_dir, f) for f in os.listdir(_native_dir)
+                if f.endswith((".cpp", ".cc", ".h", ".hpp"))]
+if os.path.exists(_so) and any(
+        os.path.exists(p) and os.path.getmtime(p) > os.path.getmtime(_so) for p in _inputs):
     import subprocess
 
-    subprocess.run(["bash", os.path.join(_root, "tools", "build_native.sh")], check=False)
+    subprocess.run(["bash", os.path.join(_root, "tools", "build_native.sh")], check=True)
+    assert all(os.path.getmtime(_so) >= os.path.getmtime(p) for p in _inputs if os.path.exists(p)), \
+        "native rebuild did not refresh libvidil_decode.so"

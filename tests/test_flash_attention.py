@@ -99,3 +99,29 @@ def test_flash_custom_vjp_matches_xla_grads(monkeypatch):
     gg = jax.grad(g, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gg):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-4)
+
+
+def test_attention_auto_off_tpu_falls_back_to_xla():
+    """On a non-TPU backend a profitability-gate hit must NOT lower the
+    Pallas kernel (TPU CompilerParams fail off-TPU): attention_auto
+    routes to XLA instead. Shapes here satisfy _flash_profitable (spilled
+    logits + a >=512-long axis) so only the backend guard averts the
+    kernel."""
+    from vidil_tpu.ops.flash_attention import _flash_profitable
+
+    rng = np.random.RandomState(3)
+    # spill size depends only on B*H*Lq*Lk; D=8 keeps the XLA fallback
+    # cheap on the 1-core host while the gate still fires
+    B, H, Lq, Lk, D = 1, 8, 577, 8192, 8  # 8*577*8192*4 B = 151 MB logits
+    q = jnp.asarray(rng.randn(B, H, Lq, D).astype(np.float32)).astype(jnp.bfloat16)
+    k = jnp.asarray(rng.randn(B, H, Lk, D).astype(np.float32)).astype(jnp.bfloat16)
+    v = jnp.asarray(rng.randn(B, H, Lk, D).astype(np.float32)).astype(jnp.bfloat16)
+    assert _flash_profitable(q, k, None)
+    assert jax.default_backend() != "tpu"  # conftest pins CPU
+
+    # if the Pallas kernel were selected, tracing/lowering would already
+    # raise (TPU CompilerParams don't lower on CPU); the guard must route
+    # to the XLA primitive, bit-identical to calling it directly
+    got = np.asarray(attention_auto(q, k, v))
+    ref = np.asarray(dot_product_attention(q, k, v))
+    np.testing.assert_array_equal(got, ref)

@@ -94,10 +94,11 @@ def _tower(params, x, bias, num_heads: int, eps: float, act, dtype=None):
         q = split_heads(linear(layer["attn"]["query"], h, dtype=dtype), num_heads)
         k = split_heads(linear(layer["attn"]["key"], h, dtype=dtype), num_heads)
         v = split_heads(linear(layer["attn"]["value"], h, dtype=dtype), num_heads)
-        # attention_auto: the vision tower (bias None) takes the Pallas
-        # flash kernel at batches where the fp32 logits spill VMEM
-        # (CLIP-L/14 at 128 frames: 541 MB/layer); the causally-masked
-        # text tower and small batches stay on XLA's fused path
+        # attention_auto: both towers route through the shape-aware
+        # dispatch, but at CLIP-L's 257-token sequences the gate keeps
+        # them on XLA (measured slower on Pallas even with 541 MB of
+        # spilled logits at 128 frames — _flash_profitable requires a
+        # >=512-long axis); only longer-sequence callers take the kernel
         from vidil_tpu.ops.flash_attention import attention_auto
 
         ctx = merge_heads(attention_auto(q, k, v, bias=bias))

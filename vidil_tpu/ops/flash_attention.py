@@ -223,7 +223,11 @@ def _flash_profitable(q, k, bias) -> bool:
 
 def attention_auto(q, k, v, bias=None, use_flash: bool = True, interpret: bool = False):
     """flash_attention when measured-profitable (no bias, logits would
-    spill VMEM), XLA otherwise."""
+    spill VMEM), XLA otherwise. Off-TPU backends always take the XLA path
+    unless interpret=True: the kernel carries TPU CompilerParams and
+    fails to lower elsewhere, and the profitability table was measured on
+    a v5e anyway."""
     if use_flash and _flash_profitable(q, k, bias):
-        return flash_attention(q, k, v, interpret=interpret)
+        if interpret or jax.default_backend() == "tpu":
+            return flash_attention(q, k, v, interpret=interpret)
     return dot_product_attention(q, k, v, bias=bias)
