@@ -21,7 +21,6 @@ the per-rank tmp files) are byte-identical to the reference
 
 from __future__ import annotations
 
-import re
 from dataclasses import dataclass
 from functools import partial
 
@@ -51,24 +50,11 @@ def preprocess_frames_pil(frames_u8: np.ndarray, image_size: int) -> np.ndarray:
     return out
 
 
-_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
-
-
-def split_sentences(text: str) -> list[str]:
-    """Sentence splitting for original captions.
-
-    The reference uses the spaCy senter (run_video_CapFilt.py:142,166-175);
-    offline environments fall back to a punctuation-based splitter. Only
-    affects the keep_original_caption=True path.
-    """
-    try:  # pragma: no cover - optional dependency
-        import spacy
-
-        if not hasattr(split_sentences, "_nlp"):
-            split_sentences._nlp = spacy.load("en_core_web_sm", disable=["ner", "tagger", "lemmatizer"])
-        return [s.text.strip() for s in split_sentences._nlp(text).sents]
-    except Exception:
-        return [s.strip() for s in _SENT_SPLIT_RE.split(text) if s.strip()]
+# sentence splitting lives in pipeline.sentences (spaCy senter when
+# available, sentencizer-grade rules offline); re-exported here for the
+# CapFilt path and train/frame_selection (reference:
+# run_video_CapFilt.py:142,166-175, pretrain_video.py:30-44)
+from vidil_tpu.pipeline.sentences import split_sentences  # noqa: F401
 
 
 def original_caption_sentences(texts: list[str], do_sentence_tokenization: bool) -> list[str]:
