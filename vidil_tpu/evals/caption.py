@@ -42,6 +42,14 @@ def video_caption_eval(gt_jsonl, results_file, output_path: str | None = None) -
     assert res.keys() == gts.keys()
     print(f"evaluate {len(res)} videos...")
     eval_dict = compute_caption_scores(gts, res)
+    if eval_dict.get("METEOR") is None:
+        # the reference reports Bleu/METEOR/ROUGE_L/CIDEr
+        # (data/utils.py:205-216); exact METEOR needs pycocoevalcap's Java
+        # jar + WordNet/paraphrase data, absent offline. The gap must be
+        # loud in CLI output AND explicit (null) in written result files.
+        print("WARNING: METEOR unavailable (pycocoevalcap/Java not installed); "
+              "reported as null. Bleu/ROUGE_L/CIDEr use the golden-pinned "
+              "pure-Python scorers.")
     print(eval_dict)
     if output_path:
         with open(output_path, "w") as out:
