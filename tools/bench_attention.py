@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vidil_tpu.utils.bench_artifact import emit
+
 from vidil_tpu.models.layers import dot_product_attention
 from vidil_tpu.ops.flash_attention import flash_attention
 
@@ -108,7 +110,7 @@ def main():
         except Exception as e:  # kernel limits (shape/VMEM)
             row["pallas_ms"] = None
             row["error"] = f"{type(e).__name__}: {e}"[:200]
-        print(json.dumps(row), flush=True)
+        emit("attention_sweep", row)
         results.append(row)
     return results
 

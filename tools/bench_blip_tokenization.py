@@ -19,6 +19,8 @@ import time
 
 import numpy as np
 
+from vidil_tpu.utils.bench_artifact import emit
+
 FRAMES = int(os.environ.get("FRAMES", 64))
 R = int(os.environ.get("R", 8))
 K_TEST = int(os.environ.get("K_TEST", 128))
@@ -114,7 +116,7 @@ def main():
         log(f"iter {it}: {times[-1]:.2f}s")
     dt = float(np.median(times))
     n_scorings = FRAMES * K_TEST
-    print(json.dumps({
+    emit("blip_tokenization", {
         "metric": "blip_tokenization_itm_rerank_throughput",
         "value": round(FRAMES / dt, 2),
         "unit": "frames/sec/chip",
@@ -122,7 +124,7 @@ def main():
         "k_test": K_TEST, "frames": FRAMES, "block_rows": R,
         "image_size": IMAGE_SIZE,
         "device": str(jax.devices()[0]),
-    }))
+    })
 
 
 if __name__ == "__main__":

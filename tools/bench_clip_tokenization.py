@@ -17,6 +17,8 @@ import time
 
 import numpy as np
 
+from vidil_tpu.utils.bench_artifact import emit
+
 FRAMES = int(os.environ.get("FRAMES", 128))
 ITERS = int(os.environ.get("ITERS", 6))
 N_ONTOLOGY = 44437  # vendored vg ontology total (objects+attrs+scenes+verbs)
@@ -93,7 +95,7 @@ def main():
         ts.append(time.perf_counter() - t0)
         log(f"iter {it}: {ts[-1]*1e3:.0f} ms")
     dt = float(np.median(ts))
-    print(json.dumps({
+    emit("clip_tokenization", {
         "metric": "clip_tokenization_compute_throughput",
         "value": round(FRAMES / dt, 1),
         "unit": "frames/sec/chip",
@@ -102,7 +104,7 @@ def main():
         "note": "upload-excluded (device-resident frames); CLI end-to-end "
                 "rate on the dev tunnel is transfer-bound",
         "device": str(jax.devices()[0]),
-    }))
+    })
 
 
 if __name__ == "__main__":

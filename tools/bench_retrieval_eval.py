@@ -25,6 +25,8 @@ import time
 
 import numpy as np
 
+from vidil_tpu.utils.bench_artifact import emit
+
 N_VIDEOS = int(os.environ.get("N_VIDEOS", 1000))
 K_TEST = int(os.environ.get("K_TEST", 128))
 ROWS = int(os.environ.get("ROWS", 8))
@@ -126,7 +128,7 @@ def main():
     metrics = itm_eval(score_v2t, score_t2v,
                        txt2vid=list(range(N_VIDEOS)), vid2txt=list(range(N_VIDEOS)))
 
-    print(json.dumps({
+    emit("retrieval_eval", {
         "metric": "retrieval_eval_itm_rerank_throughput",
         "value": round(n_scorings / t_rerank, 1),
         "unit": "ITM scorings/sec/chip",
@@ -138,7 +140,7 @@ def main():
         "text_feature_s": round(t_text, 1),
         "r_mean_sanity": round(metrics["r_mean"], 2),
         "device": str(jax.devices()[0]),
-    }))
+    })
 
 
 if __name__ == "__main__":

@@ -18,6 +18,8 @@ import time
 
 import numpy as np
 
+from vidil_tpu.utils.bench_artifact import emit
+
 BATCHES = [int(b) for b in os.environ.get("BATCHES", "8,16,32").split(",")]
 ITERS = int(os.environ.get("ITERS", 8))
 NUM_FRM = 4
@@ -97,13 +99,13 @@ def main():
             _ = float(metrics["loss"])  # sync
             ts.append(time.perf_counter() - t0)
         dt = float(np.median(ts))
-        print(json.dumps({
+        emit("retrieval_train_step", {
             "metric": "retrieval_train_step",
             "batch_videos": B, "num_frm": NUM_FRM, "image_size": IMAGE_SIZE,
             "s_per_step": round(dt, 4),
             "frames_per_sec": round(B * NUM_FRM / dt, 1),
             "device": str(jax.devices()[0]),
-        }), flush=True)
+        })
 
 
 if __name__ == "__main__":

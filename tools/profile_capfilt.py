@@ -1,0 +1,169 @@
+"""Per-program time/MFU split of one CapFilt iteration on the real chip.
+
+The headline bench (bench.py) reports one whole-iteration MFU; this tool
+breaks the iteration into its three device programs — ViT encode, beam
+decode, grouped ITM — times each with the readback-close pattern (axon's
+block_until_ready returns at enqueue-ack; only a host readback closes a
+timing), and FLOP-normalizes each against the v5e bf16 peak. Results go
+to benchmarks/capfilt_profile.jsonl.
+
+Env: PROF_VIDEOS (default 64), PROF_ITERS (default 5).
+Optionally PROF_TRACE=/path captures a jax.profiler trace of one full
+iteration for offline inspection.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import V5E_PEAK_BF16_TFLOPS, analytic_tflops
+
+VIDEOS = int(os.environ.get("PROF_VIDEOS", 64))
+NUM_FRM = 4
+IMAGE_SIZE = 384
+ITERS = int(os.environ.get("PROF_ITERS", 5))
+
+
+def log(msg):
+    import sys
+
+    print(f"[profile] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/vidil_tpu_jaxcache"))
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from vidil_tpu.config import MedConfig, ViTConfig
+    from vidil_tpu.models.blip import init_blip_decoder, init_blip_itm
+    from vidil_tpu.pipeline.capfilt import CapFiltEngine, _round_up
+    from vidil_tpu.tokenizer import BlipTokenizer, write_test_vocab
+    from vidil_tpu.utils.bench_artifact import emit
+
+    vocab_path = os.path.join(tempfile.gettempdir(), "bench_vocab.txt")
+    write_test_vocab(vocab_path, [f"tok{i}" for i in range(30418)])
+    tok = BlipTokenizer(vocab_path)
+    vit_cfg = ViTConfig.from_name("base", IMAGE_SIZE)
+    med_cfg = MedConfig(vocab_size=tok.vocab_size)
+    log(f"device: {jax.devices()[0]}")
+
+    # on-device sin-fill param synthesis (see bench.py for rationale)
+    cap_shapes = jax.eval_shape(lambda: init_blip_decoder(jax.random.PRNGKey(0), vit_cfg, med_cfg))
+    fil_shapes = jax.eval_shape(lambda: init_blip_itm(jax.random.PRNGKey(1), vit_cfg, med_cfg))
+
+    def synth(shapes, salt):
+        idx = [0]
+
+        def fill(path, leaf):
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            i = idx[0]
+            idx[0] += 1
+            if name == "scale":
+                return jnp.ones(leaf.shape, leaf.dtype)
+            if name == "bias":
+                return jnp.zeros(leaf.shape, leaf.dtype)
+            n = int(np.prod(leaf.shape)) if leaf.shape else 1
+            x = jnp.sin(jnp.arange(n, dtype=jnp.float32) * 12.9898 + salt * 78.233 + i) * 0.05
+            return x.reshape(leaf.shape).astype(leaf.dtype)
+
+        return jax.tree_util.tree_map_with_path(fill, shapes)
+
+    t = time.time()
+    cap, fil = jax.jit(lambda: (synth(cap_shapes, 1.0), synth(fil_shapes, 2.0)))()
+    jax.block_until_ready((cap, fil))
+    log(f"param synth: {time.time()-t:.1f}s")
+
+    engine = CapFiltEngine(cap, fil, tok, vit_cfg, med_cfg,
+                           num_beams=3, max_length=20, min_length=5,
+                           dtype=jnp.bfloat16, beam_group_kv=True,
+                           early_exit=False)
+
+    F = VIDEOS * NUM_FRM
+    rng = np.random.RandomState(0)
+    frames = jax.device_put(
+        rng.randint(0, 256, size=(F, IMAGE_SIZE, IMAGE_SIZE, 3), dtype=np.uint8))
+    _ = float(jnp.sum(frames[0].astype(jnp.float32)))  # land the upload
+
+    def timed(fn, close, label):
+        close(fn())  # warmup/compile
+        ts = []
+        for _ in range(ITERS):
+            t0 = time.perf_counter()
+            close(fn())
+            ts.append(time.perf_counter() - t0)
+        dt = float(np.median(ts))
+        log(f"{label}: {dt*1e3:.0f} ms (iters {[round(x*1e3) for x in ts]})")
+        return dt
+
+    # --- program 1: one ViT-B/384 encode pass (the iteration runs two) ---
+    def run_encode():
+        return engine.encode_filter_frames(frames, NUM_FRM)
+
+    t_encode = timed(run_encode,
+                     lambda out: float(jnp.sum(out[:1, :1, :1, :8].astype(jnp.float32))),
+                     "vit_encode(1x)")
+
+    # --- encode + beam decode (captioning); decode = this minus encode ---
+    def run_caption():
+        return engine.caption_frames(frames, rng=jax.random.PRNGKey(0))
+
+    t_caption = timed(run_caption, lambda out: None, "encode+decode")
+    t_decode = max(t_caption - t_encode, 0.0)
+
+    # --- grouped ITM filter on device-resident embeds ---
+    embeds = engine.encode_filter_frames(frames, NUM_FRM)
+    captions = run_caption()
+    texts = [[c for c in dict.fromkeys(captions[v * NUM_FRM:(v + 1) * NUM_FRM])]
+             for v in range(VIDEOS)]
+    itm_rows = _round_up(max(len(t) for t in texts), 4)
+
+    def run_itm():
+        return engine.filter_captions_batch(embeds, texts, threshold=0.4)
+
+    t_itm = timed(run_itm, lambda out: None, "itm_filter")
+
+    fl = analytic_tflops(F, VIDEOS, NUM_FRM, itm_rows_per_video=itm_rows,
+                         itm_text_len=engine.itm_max_text_len,
+                         image_size=IMAGE_SIZE, vocab=tok.vocab_size,
+                         dec_steps=20 - engine.prompt_length)
+
+    if os.environ.get("PROF_TRACE"):
+        with __import__("jax").profiler.trace(os.environ["PROF_TRACE"]):
+            run_caption()
+            run_itm()
+        log(f"trace written to {os.environ['PROF_TRACE']}")
+
+    total_t = 2 * t_encode + t_decode + t_itm
+    programs = {
+        "vit_encode_x2": {"s": round(2 * t_encode, 3), "tflops": round(fl["encode"], 2),
+                          "mfu": round(fl["encode"] / (2 * t_encode) / V5E_PEAK_BF16_TFLOPS, 4)},
+        "beam_decode": {"s": round(t_decode, 3), "tflops": round(fl["decode"], 2),
+                        "mfu": round(fl["decode"] / max(t_decode, 1e-9) / V5E_PEAK_BF16_TFLOPS, 4)},
+        "itm_filter": {"s": round(t_itm, 3), "tflops": round(fl["itm"], 2),
+                       "mfu": round(fl["itm"] / t_itm / V5E_PEAK_BF16_TFLOPS, 4)},
+    }
+    emit("capfilt_profile", {
+        "metric": "capfilt_per_program_profile",
+        "videos": VIDEOS, "num_frm": NUM_FRM, "image_size": IMAGE_SIZE,
+        "programs": programs,
+        "sum_s": round(total_t, 3),
+        "sum_tflops": round(fl["total"], 2),
+        "sum_mfu": round(fl["total"] / total_t / V5E_PEAK_BF16_TFLOPS, 4),
+        "note": "vit_encode timed as one pass and doubled (captioner+filterer "
+                "passes are the same program shape); decode = caption minus "
+                "encode; readback-closed timings on the axon tunnel",
+    })
+
+
+if __name__ == "__main__":
+    main()
