@@ -304,8 +304,10 @@ def main():
                   f"(early_exit off), ITM max_filter, bf16, batch={VIDEOS_PER_BATCH} videos, "
                   f"grouped-KV decode, {TRANSFER} ingest, pipelined upload",
         "variance_note": "end_to_end_fps is bounded by the dev tunnel's host->device rate "
-                         "(~12-45 MB/s by time of day; 54-119 f/s observed); value is the "
-                         "upload-excluded chip throughput and is stable (100-120 f/s)",
+                         "(~5-45 MB/s by time of day; 44-119 f/s observed); value is the "
+                         "upload-excluded chip throughput (98-135 f/s observed across "
+                         "rounds 2-3; swings with chip/tunnel state by day, stable within "
+                         "a session)",
         "baseline_note": f"reference publishes no throughput; baseline = estimated A100 "
                          f"per-video-loop rate {BASELINE_FRAMES_PER_SEC_A100_ESTIMATE} frames/s",
         "device": str(jax.devices()[0]),

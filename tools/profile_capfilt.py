@@ -89,10 +89,15 @@ def main():
                            early_exit=False)
 
     F = VIDEOS * NUM_FRM
-    rng = np.random.RandomState(0)
-    frames = jax.device_put(
-        rng.randint(0, 256, size=(F, IMAGE_SIZE, IMAGE_SIZE, 3), dtype=np.uint8))
-    _ = float(jnp.sum(frames[0].astype(jnp.float32)))  # land the upload
+    # frames are synthesized ON DEVICE (a 113 MB RGB upload takes many
+    # minutes on a slow-tunnel day and is irrelevant to compute timings)
+    t = time.time()
+    frames = jax.jit(lambda: (
+        (jnp.sin(jnp.arange(F * IMAGE_SIZE * IMAGE_SIZE * 3, dtype=jnp.float32)
+                 * 0.7311) * 127.0 + 128.0)
+        .astype(jnp.uint8).reshape(F, IMAGE_SIZE, IMAGE_SIZE, 3)))()
+    _ = float(jnp.sum(frames[0].astype(jnp.float32)))
+    log(f"on-device frame synth: {time.time()-t:.1f}s")
 
     def timed(fn, close, label):
         close(fn())  # warmup/compile
