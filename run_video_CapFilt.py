@@ -8,7 +8,10 @@ batched over many videos per device program.
 
 Extra config keys vs the reference:
   bert_vocab:       path to a bert-base-uncased vocab.txt (offline envs)
-  videos_per_batch: videos per compiled step (default 8)
+  videos_per_batch: videos per compiled step (default 8; the chunk pads
+                    to this size so the compiled program is reused — for
+                    large datasets set 64, the measured-optimal chip
+                    batch: ~5-10% more frames/s than 32, see bench.py)
   beam_group_kv:    grouped-KV beam decode, ~1.9x faster (default true)
   data_parallel:    shard batches over all local chips SPMD (default false)
   transfer_format:  'rgb' (default) or 'yuv420' — ship planar YUV420 to the

@@ -10,6 +10,7 @@ assert that contract from a parent whose backend is ALREADY initialized
 """
 
 import os
+import pytest
 import subprocess
 import sys
 
@@ -54,3 +55,17 @@ def test_entry_compiles_and_runs():
     fn, args = __graft_entry__.entry()
     loss = jax.jit(fn)(*args)
     assert np.isfinite(float(loss))
+
+
+def test_analytic_tflops_model_sane():
+    """The bench's FLOP model must put one ViT-B/384 forward near the
+    published ~100 GFLOPs (sanity anchor for the MFU denominators), and
+    the components must be positive and sum to the total."""
+    import bench
+
+    fl = bench.analytic_tflops(128, 32, 4, itm_rows_per_video=4,
+                               itm_text_len=35, dec_steps=16)
+    per_frame_gflops = fl["encode"] / 2 / 128 * 1e3
+    assert 90 <= per_frame_gflops <= 130, per_frame_gflops
+    assert fl["encode"] > fl["itm"] > fl["decode"] > 0
+    assert fl["total"] == pytest.approx(fl["encode"] + fl["decode"] + fl["itm"])
