@@ -123,3 +123,19 @@ def test_clip_tokenizer_batch(clip_tok_files):
     got = ours(TEXTS, padding="longest")
     np.testing.assert_array_equal(got.input_ids, ref["input_ids"])
     np.testing.assert_array_equal(got.attention_mask, ref["attention_mask"])
+
+
+def test_clip_vision_pooler_parity(hf_clip):
+    """clip_vision_forward's pooled output must equal HF's
+    vision_model(...).pooler_output — the feature the reference's
+    clip-kmeans frame selector clusters (reference:
+    data/video_pretrain_dataset.py:199-202)."""
+    from vidil_tpu.models.clip import clip_vision_forward
+
+    params = convert_clip({k: v.numpy() for k, v in hf_clip.state_dict().items()}, CFG)
+    rng = np.random.RandomState(1)
+    x = rng.randn(3, 3, CFG.image_size, CFG.image_size).astype(np.float32)
+    with torch.no_grad():
+        ref = hf_clip.vision_model(pixel_values=torch.tensor(x)).pooler_output.numpy()
+    got = np.asarray(clip_vision_forward(params, jnp.asarray(x.transpose(0, 2, 3, 1)), CFG)[1])
+    np.testing.assert_allclose(got, ref, atol=2e-5)

@@ -271,3 +271,26 @@ def test_embed_texts_blocked_scan_matches(monkeypatch, clip_workdir):
     monkeypatch.setattr(vt, "EMBEDDING_BATCH_LIMIT_TEXT", 4)
     got = engine.embed_texts(texts)  # 3 blocks of 4 (last padded), scanned
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_clip_kmeans_selector(clip_workdir):
+    """clip-kmeans frame selection (reference
+    data/video_pretrain_dataset.py:189-216): embeds every 2nd frame with
+    the CLIP vision pooler, clusters into num_frm groups, returns one
+    sorted index per cluster; deterministic under a fixed np.random seed."""
+    from run_visual_tokenization import build_clip_engine
+    from vidil_tpu.data.video_reader import VideoReader
+    from vidil_tpu.pipeline.visual_tokenization import make_clip_kmeans_selector
+
+    engine = build_clip_engine(clip_workdir.config)
+    selector = make_clip_kmeans_selector(engine, downsample_ratio=2)
+    vr = VideoReader(str(clip_workdir.root / "videos" / "vid0.mp4"))
+    num_frm = 3
+    np.random.seed(11)
+    idx = selector(vr, num_frm)
+    assert len(idx) == num_frm
+    assert idx == sorted(idx)
+    assert all(0 <= i < len(vr) for i in idx)
+    assert all(i % 2 == 0 for i in idx)  # drawn from the downsampled grid
+    np.random.seed(11)
+    assert selector(vr, num_frm) == idx

@@ -206,12 +206,23 @@ class ClipTokenizationEngine:
             return clip_image_embeds(params, x, clip_cfg, dtype=dtype)
 
         @jax.jit
+        def _pool_frames(params, frames_u8):
+            # vision pooler_output (post_layernorm CLS, BEFORE the visual
+            # projection) — what the reference's clip-kmeans frame selector
+            # clusters (reference: data/video_pretrain_dataset.py:199-202)
+            from vidil_tpu.models.clip import clip_vision_forward
+
+            x = (frames_u8.astype(jnp.float32) / 255.0 - mean) / std
+            return clip_vision_forward(params, x, clip_cfg, dtype=dtype)[1]
+
+        @jax.jit
         def _sims(img, txt):
             return jnp.dot(img, txt.T, precision=jax.lax.Precision.HIGHEST)
 
         self._embed_texts = lambda ids: _embed_texts(self.params, ids)
         self._embed_texts_blocks = lambda ids: _embed_texts_blocks(self.params, ids)
         self._embed_frames = lambda frames: _embed_frames(self.params, frames)
+        self._pool_frames = lambda frames: _pool_frames(self.params, frames)
         self._sims = _sims
 
     def _put(self, x):
@@ -245,6 +256,11 @@ class ClipTokenizationEngine:
     def embed_frames(self, frames_u8: np.ndarray) -> np.ndarray:
         """(F, S, S, C) uint8 (already CLIP-preprocessed) -> (F, D)."""
         return np.asarray(self._embed_frames(self._put(frames_u8)))
+
+    def pool_frames(self, frames_u8: np.ndarray) -> np.ndarray:
+        """Vision pooler_output (F, D_vision) — pre-projection CLS states,
+        the reference's clip-kmeans clustering feature."""
+        return np.asarray(self._pool_frames(self._put(frames_u8)))
 
     def score(self, image_embeds: np.ndarray, text_embeds: np.ndarray) -> np.ndarray:
         return np.asarray(self._sims(jnp.asarray(image_embeds), jnp.asarray(text_embeds)))
@@ -471,7 +487,9 @@ def make_clip_kmeans_selector(engine: ClipTokenizationEngine, downsample_ratio: 
     """clip-kmeans frame selection (reference:
     data/video_pretrain_dataset.py:189-216): embed every `downsample_ratio`-th
     frame with CLIP, KMeans into num_frm clusters, sample one frame per
-    cluster with np.random."""
+    cluster with np.random. Clusters the vision pooler_output (pre-
+    projection post-layernorm CLS), matching the reference's
+    `outputs.pooler_output` feature choice (:199-202)."""
     from sklearn.cluster import KMeans
 
     def selector(vr, num_frm: int):
@@ -479,7 +497,7 @@ def make_clip_kmeans_selector(engine: ClipTokenizationEngine, downsample_ratio: 
         downsampled = np.arange(vlen, step=downsample_ratio, dtype=int)
         frames = vr.get_batch(downsampled)
         pre = clip_preprocess_pil(frames, engine.cfg.image_size)
-        emb = engine.embed_frames(pre)
+        emb = engine.pool_frames(pre)
         kmeans = KMeans(n_clusters=num_frm, random_state=0).fit(emb)
         labels = kmeans.labels_
         out = []
