@@ -18,6 +18,10 @@ import time
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from vidil_tpu.utils.bench_artifact import emit
 
 BATCHES = [int(b) for b in os.environ.get("BATCHES", "8,16,32").split(",")]
@@ -68,14 +72,24 @@ def main():
         x = jnp.sin(jnp.arange(n, dtype=jnp.float32) * 12.9898 + i) * 0.02
         return x.reshape(leaf.shape).astype(leaf.dtype)
 
-    state = jax.jit(lambda: jax.tree_util.tree_map_with_path(fill, state_shapes))()
+    synth_state = jax.jit(lambda: jax.tree_util.tree_map_with_path(fill, state_shapes))
+    state = synth_state()
     jax.block_until_ready(state)
     log(f"on-device state synth: {time.time()-t:.1f}s")
     # donated state (as the trainer CLIs run it): old/new states never
     # coexist — without this the ~3.8 GB state exists 2-3x and B=8 OOMs
     step = jax.jit(make_retrieval_train_step(vit_cfg, med_cfg, opt), donate_argnums=0)
 
+    first = True
     for B in BATCHES:
+        if not first:
+            # fresh state per batch size: the synthetic weights diverge to
+            # nan after a few optimizer steps (timings are unaffected, but
+            # the logged losses should stay meaningful); idx resets so the
+            # sin-fill is identical to the first synthesis
+            idx[0] = 0
+            state = synth_state()
+        first = False
         rng = np.random.RandomState(0)
         ids = rng.randint(4, 30000, size=(B, 35)).astype(np.int32)
         enc = ids.copy()
