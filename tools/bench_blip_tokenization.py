@@ -19,6 +19,10 @@ import time
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from vidil_tpu.utils.bench_artifact import emit
 
 FRAMES = int(os.environ.get("FRAMES", 64))

@@ -25,6 +25,10 @@ import time
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from vidil_tpu.utils.bench_artifact import emit
 
 N_VIDEOS = int(os.environ.get("N_VIDEOS", 1000))
