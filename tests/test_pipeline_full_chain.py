@@ -1,0 +1,223 @@
+"""Full-pipeline integration: every stage's OUTPUT feeds the next stage's
+INPUT, through the real CLIs, over one shared workspace.
+
+The per-CLI tests validate each stage against its own contract; this
+chain validates the INTER-stage contracts — the thing the reference's
+`output_example/` tree is the de-facto fixture for (SURVEY.md §4):
+
+  videos + ann ─► run_video_CapFilt ─► video_text_Cap[Filt].json
+             └─► run_visual_tokenization ─► visual_tokens.json
+  both ─► generate_prompts_random_prefix ─► queries.jsonl + idx map
+  (fake GPT-3) ─► utils_gpt3 processing ─► processed json
+  processed + gt ─► eval_video_captioning_results ─► metric.json
+"""
+
+import json
+import os
+import subprocess
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from vidil_tpu.config import MedConfig, ViTConfig
+from vidil_tpu.models.testing import make_blip_decoder_ckpt, make_blip_itm_ckpt, save_torch_ckpt
+from vidil_tpu.tokenizer import BlipTokenizer, write_test_clip_bpe, write_test_vocab
+
+VIT_KW = dict(patch_size=16, hidden_size=32, num_layers=2, num_heads=4)
+IMAGE_SIZE = 32
+VIDS = ["video0", "video1", "video2"]
+
+
+@pytest.fixture(scope="module")
+def ws(tmp_path_factory):
+    import cv2
+    import torch
+    import yaml
+    from transformers import CLIPConfig as HFCLIPConfig
+    from transformers import CLIPModel, CLIPTextConfig, CLIPVisionConfig
+
+    root = tmp_path_factory.mktemp("full_chain")
+    videos = root / "videos"
+    videos.mkdir()
+    ann = {}
+    for vi, vid in enumerate(VIDS):
+        path = str(videos / f"{vid}.mp4")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+        for i in range(30):
+            frame = np.zeros((48, 64, 3), np.uint8)
+            frame[:, :, vi % 3] = (i * 7 + vi * 50) % 255
+            w.write(frame)
+        w.release()
+        ann[vid] = [f"a dog runs in video {vi}. a cat sits"]
+    ann_path = str(root / "ann.json")
+    json.dump(ann, open(ann_path, "w"))
+
+    # --- BLIP side (CapFilt) ---
+    vocab_path = str(root / "vocab.txt")
+    write_test_vocab(vocab_path, [
+        "a", "picture", "of", "dog", "runs", "in", "video", "0", "1", "2",
+        "cat", "sits", ".", "man", "plays",
+    ])
+    vocab_size = BlipTokenizer(vocab_path).vocab_size
+    med_cfg_path = str(root / "med_config.json")
+    json.dump({
+        "vocab_size": vocab_size, "hidden_size": 32, "num_hidden_layers": 2,
+        "num_attention_heads": 4, "intermediate_size": 64,
+        "max_position_embeddings": 64, "encoder_width": 32, "add_cross_attention": True,
+    }, open(med_cfg_path, "w"))
+    vit_cfg = ViTConfig(image_size=IMAGE_SIZE, **VIT_KW)
+    med_cfg = MedConfig.from_json(med_cfg_path)
+    cap_ckpt = str(root / "captioner.pth")
+    fil_ckpt = str(root / "filterer.pth")
+    save_torch_ckpt(make_blip_decoder_ckpt(vit_cfg, med_cfg), cap_ckpt)
+    save_torch_ckpt(make_blip_itm_ckpt(vit_cfg, med_cfg), fil_ckpt)
+
+    # --- CLIP side (visual tokenization) ---
+    clip_vocab, clip_merges = str(root / "clip_vocab.json"), str(root / "merges.txt")
+    write_test_clip_bpe(clip_vocab, clip_merges,
+                        ["a", "photo", "of", "dog", "cat", "red", "blue",
+                         "beach", "park", "running", "sitting"])
+    clip_vocab_size = len(json.load(open(clip_vocab)))
+    text_cfg = CLIPTextConfig(vocab_size=clip_vocab_size, hidden_size=32,
+                              intermediate_size=64, num_hidden_layers=2,
+                              num_attention_heads=4, max_position_embeddings=16,
+                              hidden_act="quick_gelu",
+                              bos_token_id=clip_vocab_size - 2,
+                              eos_token_id=clip_vocab_size - 1)
+    vision_cfg = CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                                  num_hidden_layers=2, num_attention_heads=4,
+                                  image_size=28, patch_size=14, hidden_act="quick_gelu")
+    torch.manual_seed(0)
+    hf = CLIPModel(HFCLIPConfig.from_text_vision_configs(text_cfg, vision_cfg,
+                                                         projection_dim=24))
+    clip_ckpt = str(root / "clip.pth")
+    torch.save(hf.state_dict(), clip_ckpt)
+    onto = root / "onto"
+    onto.mkdir()
+    json.dump(["dog", "cat"], open(onto / "objects.json", "w"))
+    json.dump(["red", "blue"], open(onto / "attributes.json", "w"))
+    json.dump(["beach", "park"], open(onto / "scenes.json", "w"))
+    json.dump(["running", "sitting"], open(onto / "verbs.json", "w"))
+
+    # ONE config.yaml drives both model stages (the reference's pipeline
+    # yamls do the same)
+    config = dict(
+        video_roots=str(videos), video_formats="mp4", train_ann_jsons=ann_path,
+        frm_sampling_strategy="uniform", height=None, width=None,
+        start_time=None, end_time=None, fps=-1,
+        # CapFilt keys
+        caption=True, filter=True, filter_generated_only=True,
+        keep_original_caption=False, filter_mode="max_filter",
+        generation_mode="beam", threshold=-1.0, num_frm_CapFilt=4,
+        do_sentence_tokenization=True,
+        vit="tiny", vit_config=VIT_KW, image_size=IMAGE_SIZE,
+        med_config=med_cfg_path, bert_vocab=vocab_path, videos_per_batch=2,
+        caption_model_ckpt=cap_ckpt, filterer_model_ckpt=fil_ckpt,
+        # tokenization keys
+        num_frm_visual_tokenization=4,
+        clip_config=dict(image_size=28, patch_size=14, vision_hidden_size=32,
+                         vision_layers=2, vision_heads=4, vision_intermediate_size=64,
+                         vocab_size=clip_vocab_size, text_hidden_size=32,
+                         text_layers=2, text_heads=4, text_intermediate_size=64,
+                         max_text_len=16, projection_dim=24),
+        clip_ckpt=clip_ckpt, clip_vocab=clip_vocab, clip_merges=clip_merges,
+        ontology="custom",
+        ontology_paths={
+            "objects": str(onto / "objects.json"),
+            "attributes": str(onto / "attributes.json"),
+            "scenes": str(onto / "scenes.json"),
+            "verbs": str(onto / "verbs.json"),
+        },
+        topk_visualize=2, prompt_version_visual_tokenization="v1",
+        save_frames=False, early_stop_step=-1,
+    )
+    return types.SimpleNamespace(root=root, config=config, ann=ann, ann_path=ann_path)
+
+
+def _cli_args(out_dir):
+    return types.SimpleNamespace(output_dir=str(out_dir), seed=42, world_size=1,
+                                 dist_url="env://", distributed=False, device="cpu",
+                                 encoder_version="clip")
+
+
+def test_full_chain(ws):
+    import run_video_CapFilt as capfilt_cli
+    import run_visual_tokenization as vt_cli
+
+    # ---- stage 1: CapFilt ----
+    fc_dir = ws.root / "frame_caption"
+    os.makedirs(fc_dir, exist_ok=True)
+    capfilt_cli.main(_cli_args(fc_dir), dict(ws.config))
+    capfilt = json.load(open(fc_dir / "video_text_CapFilt.json"))
+    cap = json.load(open(fc_dir / "video_text_Cap.json"))
+    assert set(cap) == set(VIDS)
+    assert set(capfilt) == set(VIDS)  # threshold=-1 keeps everything
+
+    # ---- stage 2: visual tokenization ----
+    vt_dir = ws.root / "visual_tokenization_clip"
+    os.makedirs(vt_dir, exist_ok=True)
+    vt_cli.main(_cli_args(vt_dir), dict(ws.config))
+    tokens = json.load(open(vt_dir / "visual_tokens.json"))
+    assert set(tokens) == set(VIDS)
+    for obj in tokens.values():
+        assert {"aggregated_tokens", "frame_tokens"} <= set(obj)
+        assert {"objects", "attributes", "scenes", "verbs"} <= set(obj["aggregated_tokens"])
+
+    # ---- stage 3: prompt generation consumes stages 1+2 ----
+    out_dir = ws.root / "input_prompts"
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "generate_prompts_random_prefix.py"),
+         "--prompt_task", "caption",
+         "--visual_tokens_dir", str(vt_dir), "--frame_captions_dir", str(fc_dir),
+         "--train_dataset_visual_tokens_dir", str(vt_dir),
+         "--train_dataset_frame_captions_dir", str(fc_dir),
+         "--trainset_json_ann", ws.ann_path,
+         "--output_dir", str(out_dir),
+         "--instruction_line", "Instruction: caption the video.",
+         "--shot", "2", "--seed", "42"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    queries = [json.loads(l) for l in open(out_dir / "temp_0.0_gpt3_queries.jsonl")]
+    idx_map = json.load(open(out_dir / "temp_0.0_gpt3_queries__idx_2_videoid.json"))
+    assert len(queries) == len(idx_map) == len(VIDS)
+    assert set(idx_map.values()) == set(VIDS)
+    for q in queries:
+        assert q["prompt"].startswith("Instruction: caption the video.")
+        # the prompt embeds the ACTUAL stage-2 tokens and stage-1 captions
+        assert "Objects:" in q["prompt"] and "Frame Captions:" in q["prompt"]
+
+    # ---- stage 4: fake GPT-3 responses -> processing ----
+    resp_path = ws.root / "gpt3_response.jsonl"
+    with open(resp_path, "w") as f:
+        for i in range(len(queries)):
+            f.write(json.dumps({"choices": [
+                {"text": f"\na dog runs in video {i}\n\nObjects: junk"}]}) + "\n")
+    from vidil_tpu.pipeline.gpt3 import process_gpt3_response
+
+    processed_path = str(ws.root / "processed.json")
+    process_gpt3_response(str(out_dir / "temp_0.0_gpt3_queries__idx_2_videoid.json"),
+                          str(resp_path), processed_path)
+    processed = json.load(open(processed_path))
+    assert set(processed) == set(VIDS)
+    assert all(isinstance(v, list) and v for v in processed.values())
+
+    # ---- stage 5: caption eval on the processed responses ----
+    gt_jsonl = [{"clip_name": vid, "caption": ws.ann[vid][0]} for vid in VIDS]
+    from vidil_tpu.evals.caption import video_caption_eval
+
+    metric_path = str(ws.root / "metric.json")
+    results = [{"video_id": k, "caption": v} for k, v in processed.items()]
+    scores = video_caption_eval(gt_jsonl, results, output_path=metric_path)
+    saved = json.load(open(metric_path))
+    for n in range(1, 5):
+        assert isinstance(scores[f"Bleu_{n}"], float)
+    assert 0.0 < scores["Bleu_1"] <= 1.0  # 'a dog runs in video' overlaps gt
+    assert saved["CIDEr"] is not None and saved["ROUGE_L"] is not None
+    # offline METEOR is an explicit null in the written file, never absent
+    assert "METEOR" in saved
