@@ -221,3 +221,85 @@ def test_full_chain(ws):
     assert saved["CIDEr"] is not None and saved["ROUGE_L"] is not None
     # offline METEOR is an explicit null in the written file, never absent
     assert "METEOR" in saved
+
+
+def test_full_chain_qa(ws):
+    """QA-task chain: the same stage-1/2 outputs feed --prompt_task qa
+    prompt generation (per-question expansion, idx -> [video, qidx] map),
+    fake sampled GPT-3 answers, and the SBERT answer-mapping eval."""
+    import run_video_CapFilt as capfilt_cli
+    import run_visual_tokenization as vt_cli
+
+    fc_dir = ws.root / "frame_caption"
+    vt_dir = ws.root / "visual_tokenization_clip"
+    if not os.path.exists(fc_dir / "video_text_CapFilt.json"):
+        os.makedirs(fc_dir, exist_ok=True)
+        capfilt_cli.main(_cli_args(fc_dir), dict(ws.config))
+    if not os.path.exists(vt_dir / "visual_tokens.json"):
+        os.makedirs(vt_dir, exist_ok=True)
+        vt_cli.main(_cli_args(vt_dir), dict(ws.config))
+
+    # two questions for video0, one each for the others
+    qa = {
+        "video0": [{"question": "what runs?", "answer": "dog"},
+                   {"question": "what sits?", "answer": "cat"}],
+        "video1": [{"question": "what runs?", "answer": "dog"}],
+        "video2": [{"question": "what sits?", "answer": "cat"}],
+    }
+    qa_path = str(ws.root / "qa.json")
+    json.dump(qa, open(qa_path, "w"))
+
+    out_dir = ws.root / "input_prompts_qa"
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "generate_prompts_random_prefix.py"),
+         "--prompt_task", "qa", "--question_answer_path", qa_path,
+         "--visual_tokens_dir", str(vt_dir), "--frame_captions_dir", str(fc_dir),
+         "--train_dataset_visual_tokens_dir", str(vt_dir),
+         "--train_dataset_frame_captions_dir", str(fc_dir),
+         "--trainset_json_ann", ws.ann_path,
+         "--output_dir", str(out_dir),
+         "--instruction_line", "Instruction: answer the question.",
+         "--shot", "2", "--seed", "42"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    queries = [json.loads(l) for l in open(out_dir / "temp_0.0_gpt3_queries.jsonl")]
+    idx_map = json.load(open(out_dir / "temp_0.0_gpt3_queries__idx_2_videoid.json"))
+    assert len(queries) == 4  # one prompt per (video, question) pair
+    assert all(q["prompt"].rstrip().endswith("Answer:") for q in queries)
+    # idx -> [video_id, qidx] (the QA remap contract)
+    assert idx_map["0"][0] == "video0" and idx_map["1"][0] == "video0"
+    assert [v[0] for v in idx_map.values()].count("video0") == 2
+
+    # fake GPT-3: answer 'dog' for what-runs, 'cat' for what-sits
+    resp_path = ws.root / "gpt3_qa_response.jsonl"
+    with open(resp_path, "w") as f:
+        for i in range(len(queries)):
+            ans = "a dog" if "runs" in queries[i]["prompt"].rsplit("Question:", 1)[-1] else "a cat"
+            f.write(json.dumps({"choices": [{"text": f"\n{ans}\n\nObjects: junk"}]}) + "\n")
+
+    from vidil_tpu.evals.qa import (
+        evaluate_generation_result_jsonl,
+        process_gpt3_response_jsonl,
+    )
+
+    qa_out = ws.root / "qa_processed"
+    os.makedirs(qa_out, exist_ok=True)
+    pred_jsonl = process_gpt3_response_jsonl(str(resp_path), str(qa_out))
+    gt_jsonl = str(ws.root / "qa_gt.jsonl")
+    with open(gt_jsonl, "w") as f:
+        for vid, pairs in qa.items():
+            for p in pairs:
+                f.write(json.dumps({"video_id": vid, "question": p["question"],
+                                    "answer": p["answer"]}) + "\n")
+
+    def fake_encoder(texts):
+        # deterministic: map dog-ish and cat-ish strings to orthogonal axes
+        out = np.zeros((len(texts), 4), np.float32)
+        for i, t in enumerate(texts):
+            out[i, 0 if "dog" in t else 1] = 1.0
+        return out
+
+    acc = evaluate_generation_result_jsonl(
+        pred_jsonl, gt_jsonl, ["dog", "cat"], idx_map, encoder=fake_encoder)
+    assert acc == 1.0  # every faked answer maps to the right closed answer
