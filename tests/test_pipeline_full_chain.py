@@ -303,3 +303,74 @@ def test_full_chain_qa(ws):
     acc = evaluate_generation_result_jsonl(
         pred_jsonl, gt_jsonl, ["dog", "cat"], idx_map, encoder=fake_encoder)
     assert acc == 1.0  # every faked answer maps to the right closed answer
+
+
+def test_full_chain_vlep(ws):
+    """VLEP multichoice chain: stage-1/2 outputs + example-id-keyed anns
+    feed the VLEP prompt CLI, fake GPT-3 picks, the nearest-event mapping
+    eval, and dev accuracy."""
+    import run_video_CapFilt as capfilt_cli
+    import run_visual_tokenization as vt_cli
+
+    fc_dir = ws.root / "frame_caption"
+    vt_dir = ws.root / "visual_tokenization_clip"
+    if not os.path.exists(fc_dir / "video_text_CapFilt.json"):
+        os.makedirs(fc_dir, exist_ok=True)
+        capfilt_cli.main(_cli_args(fc_dir), dict(ws.config))
+    if not os.path.exists(vt_dir / "visual_tokens.json"):
+        os.makedirs(vt_dir, exist_ok=True)
+        vt_cli.main(_cli_args(vt_dir), dict(ws.config))
+
+    # train ann answers are the EVENT STRINGS (the prompt embeds them,
+    # reference prompts.py:309 calls .strip()); the target/dev ann answers
+    # are INT indices (eval_vlep.py accuracy does int(ann['answer']))
+    train_ann = {str(i): {"video_id": vid, "events": ["the dog runs", "the cat sits"],
+                          "answer": ["the dog runs", "the cat sits"][i % 2]}
+                 for i, vid in enumerate(VIDS)}
+    target_ann = {"10": {"video_id": "video0", "events": ["the dog runs", "the cat sits"],
+                         "answer": 0},
+                  "11": {"video_id": "video1", "events": ["the dog runs", "the cat sits"],
+                         "answer": 1}}
+    train_path = str(ws.root / "vlep_train_ann.json")
+    target_path = str(ws.root / "vlep_target_ann.json")
+    json.dump(train_ann, open(train_path, "w"))
+    json.dump(target_ann, open(target_path, "w"))
+
+    out_dir = ws.root / "input_prompts_vlep"
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "generate_prompts_random_prefix_vlep_multichoice.py"),
+         "--prompt_task", "vlep",
+         "--visual_tokens_dir", str(vt_dir), "--frame_captions_dir", str(fc_dir),
+         "--train_dataset_visual_tokens_dir", str(vt_dir),
+         "--train_dataset_frame_captions_dir", str(fc_dir),
+         "--trainset_json_ann", train_path, "--target_json_ann", target_path,
+         "--output_dir", str(out_dir),
+         "--instruction_line", "Instruction: what happens next? Pick A or B.",
+         "--shot", "2", "--seed", "42"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    queries = [json.loads(l) for l in open(out_dir / "temp_0.0_gpt3_queries.jsonl")]
+    idx_map = json.load(open(out_dir / "temp_0.0_gpt3_queries__idx_2_example_id.json"))
+    assert len(queries) == 2
+    assert set(idx_map.values()) == {"10", "11"}
+    assert all("A:" in q["prompt"] and "B:" in q["prompt"] for q in queries)
+
+    # fake GPT-3 answers: example 10 -> the A event, example 11 -> the B event
+    results = {"10": "the dog runs", "11": "the cat sits"}
+
+    from vidil_tpu.evals.vlep import eval_multichoice, vlep_accuracy
+
+    def fake_encoder(texts):
+        out = np.zeros((len(texts), 4), np.float32)
+        for i, t in enumerate(texts):
+            out[i, 0 if "dog" in t else 1] = 1.0
+        return out
+
+    pred_path = str(ws.root / "vlep_preds.jsonl")
+    lines = eval_multichoice(results, target_ann, pred_path, encoder=fake_encoder)
+    assert {l["example_id"]: l["pred_ans"] for l in lines} == {10: 0, 11: 1}
+    assert vlep_accuracy(lines, target_ann) == 1.0
+    # CodaLab submission jsonl written
+    assert [json.loads(l)["example_id"] for l in open(pred_path)] == [10, 11]
