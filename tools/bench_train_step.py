@@ -24,6 +24,33 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from vidil_tpu.utils.bench_artifact import emit
 
+V5E_PEAK_BF16_TFLOPS = 197.0
+
+
+def analytic_train_tflops(B: int, num_frm: int = 4, image_size: int = 224,
+                          Lt: int = 35, D: int = 768, layers: int = 12,
+                          mlp_ratio: int = 4, patch: int = 16) -> float:
+    """Analytic matmul FLOPs of one retrieval train step (ITA + ITM +
+    momentum towers), counting 2*m*n*k per GEMM:
+
+    online fwd (ViT per frame + text encoder per caption + 3B ITM rows
+    each with its own (num_frm*P)-token cross-K/V), backward ~2x fwd,
+    remat recompute ~1x fwd (ViT + MED scans both rematerialize), plus
+    the stop-grad momentum towers (1x fwd). Elementwise excluded."""
+    P = (image_size // patch) ** 2 + 1
+    d2 = D * D
+    m = 4 * mlp_ratio
+    vit_fwd = num_frm * (2 * P * D * (patch * patch * 3)
+                         + layers * ((8 + m) * P * d2 + 4 * P * P * D))
+    text_fwd = layers * ((8 + m) * Lt * d2 + 4 * Lt * Lt * D)
+    Mem = num_frm * P
+    itm_row = layers * ((8 + m) * Lt * d2 + 4 * Lt * d2
+                        + 4 * Lt * Lt * D + 4 * Lt * Mem * D)
+    itm_kv = layers * 2 * 2 * Mem * d2
+    online = B * (vit_fwd + text_fwd) + 3 * B * (itm_row + itm_kv)
+    return (online * 4 + B * (vit_fwd + text_fwd)) / 1e12  # fwd+bwd(2x)+remat + momentum
+
+
 BATCHES = [int(b) for b in os.environ.get("BATCHES", "8,16,32").split(",")]
 ITERS = int(os.environ.get("ITERS", 8))
 NUM_FRM = 4
@@ -113,11 +140,14 @@ def main():
             _ = float(metrics["loss"])  # sync
             ts.append(time.perf_counter() - t0)
         dt = float(np.median(ts))
+        fl = analytic_train_tflops(B, NUM_FRM, IMAGE_SIZE)
         emit("retrieval_train_step", {
             "metric": "retrieval_train_step",
             "batch_videos": B, "num_frm": NUM_FRM, "image_size": IMAGE_SIZE,
             "s_per_step": round(dt, 4),
             "frames_per_sec": round(B * NUM_FRM / dt, 1),
+            "tflops_per_step": round(fl, 2),
+            "mfu": round(fl / dt / V5E_PEAK_BF16_TFLOPS, 4),
             "device": str(jax.devices()[0]),
         })
 
