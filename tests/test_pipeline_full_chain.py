@@ -374,3 +374,48 @@ def test_full_chain_vlep(ws):
     assert vlep_accuracy(lines, target_ann) == 1.0
     # CodaLab submission jsonl written
     assert [json.loads(l)["example_id"] for l in open(pred_path)] == [10, 11]
+
+
+def test_full_chain_pseudo_label_training(ws):
+    """Closes the last inter-stage contract: processed GPT-3 responses ->
+    pseudo-label jsonl (utils_gpt3 video_level_only) -> retrieval
+    fine-tuning CLI consuming that exact jsonl (VidIL's secondary
+    capability, reference README.md:57-73 + gpt3_response_to_jsonl)."""
+    import train_retrieval_video as train_cli
+
+    processed_path = str(ws.root / "processed.json")
+    if not os.path.exists(processed_path):
+        # stage 4 output from test_full_chain; regenerate standalone
+        json.dump({vid: [f"a dog runs in video {i}"] for i, vid in enumerate(VIDS)},
+                  open(processed_path, "w"))
+
+    from vidil_tpu.pipeline.gpt3 import video_level_only
+
+    pseudo_jsonl = video_level_only(processed_path, str(ws.root / "pseudo_label_ann"))
+    lines = [json.loads(l) for l in open(pseudo_jsonl)]
+    assert {l["clip_name"] for l in lines} == set(VIDS)
+    assert [l["sen_id"] for l in lines] == list(range(len(lines)))
+
+    config = dict(
+        dataset="msrvtt",
+        train_video_root=str(ws.root / "videos"),
+        train_ann_jsonl=pseudo_jsonl,
+        eval_video_root=str(ws.root / "videos"),
+        val_ann_jsonl=pseudo_jsonl, test_ann_jsonl=pseudo_jsonl,
+        num_frm_train=2, num_frm_test=2, frm_sampling_strategy="uniform",
+        height=None, width=None, start_time=None, end_time=None, fps=-1,
+        video_representation="concat_frame",
+        pretrained="", bert_vocab=str(ws.root / "vocab.txt"),
+        vit="tiny", vit_config=VIT_KW, med_config=str(ws.root / "med_config.json"),
+        batch_size_train=3, batch_size_test=3, init_lr=1e-5,
+        image_size=IMAGE_SIZE, queue_size=6, alpha=0.4, k_test=2,
+        negative_all_rank=True, weight_decay=0.05, min_lr=0, max_epoch=1,
+    )
+    out_dir = str(ws.root / "pseudo_train_out")
+    os.makedirs(out_dir, exist_ok=True)
+    args = types.SimpleNamespace(output_dir=out_dir, evaluate=False, seed=42,
+                                 world_size=1, dist_url="env://",
+                                 distributed=False, device="cpu")
+    train_cli.main(args, config)
+    log = [json.loads(l) for l in open(os.path.join(out_dir, "log.txt"))]
+    assert "train_loss" in log[-1] or "val_r_mean" in log[-1]
