@@ -288,3 +288,30 @@ def test_grouped_filter_matches_pair_scoring(engine):
         pos += len(ts)
     got = engine.filter_captions_batch(fe, texts, threshold=thresh)
     assert got == expect
+
+
+def test_run_chunks_pipelined_matches_sequential(engine, synthetic_video):
+    """Cross-chunk pipelining (dispatch chunk i+1 before completing chunk i)
+    is byte-identical to sequential run_chunk calls, with a realistic
+    threshold so both kept and dropped captions are covered."""
+    from vidil_tpu.data.sampling import load_video_frames
+
+    frames = preprocess_frames_pil(load_video_frames(synthetic_video, "uniform", 4), 32)
+    rng = np.random.RandomState(3)
+    chunks = []
+    for c in range(3):
+        chunks.append([
+            {"video_id": f"v{c}_{i}",
+             "frames": np.clip(frames.astype(np.int32) + rng.randint(-30, 30), 0, 255).astype(np.uint8),
+             "text": [f"a dog runs in chunk {c}"]}
+            for i in range(2)
+        ])
+    config = dict(caption=True, filter=True, filter_generated_only=True,
+                  keep_original_caption=True, threshold=0.5, filter_mode="max_filter",
+                  generation_mode="beam", do_sentence_tokenization=False)
+    seq = [engine.run_chunk(list(c), config) for c in chunks]
+    pipe = list(engine.run_chunks_pipelined([list(c) for c in chunks], config))
+    assert len(pipe) == len(seq)
+    for rs, rp in zip(seq, pipe):
+        assert [(r.video_id, r.unfiltered_text, r.text) for r in rs] == \
+               [(r.video_id, r.unfiltered_text, r.text) for r in rp]

@@ -102,6 +102,17 @@ class CapFiltResult:
     text: list[str]
 
 
+@dataclass
+class ChunkDispatch:
+    """Device work of one chunk, in flight (see CapFiltEngine.dispatch_chunk)."""
+
+    chunk: list[dict]
+    config: dict
+    num_frm: int
+    seqs_dev: object | None      # (V*F, max_length) caption token ids, async
+    frame_embeds: object | None  # (V, F, P, D) filterer ViT outputs, async
+
+
 class CapFiltEngine:
     """Jitted captioner + filterer over chunks of videos."""
 
@@ -317,18 +328,29 @@ class CapFiltEngine:
 
     # -- full CapFilt over a chunk ------------------------------------------
 
-    def run_chunk(self, chunk: list[dict], config: dict, rng=None) -> list[CapFiltResult]:
-        """Process a chunk of videos with already-decoded frames.
+    def dispatch_chunk(self, chunk: list[dict], config: dict, rng=None) -> ChunkDispatch:
+        """Enqueue a chunk's device programs WITHOUT blocking the host.
 
         chunk items: {'video_id': str, 'frames': (F, S, S, C) uint8,
                       'text': [original captions]}
         config keys follow the reference yaml (caption / filter /
         filter_generated_only / keep_original_caption / threshold /
         filter_mode / generation_mode / do_sentence_tokenization).
+
+        Dispatch order is load-bearing for throughput: the caption
+        programs (encode + beam decode) AND the filter-side ViT encode
+        are all enqueued BEFORE the host blocks on the caption-token
+        readback (in complete_chunk), so the device runs the filter
+        encode while the host waits out the decode + readback RTT and
+        does its string work (detokenize/dedup/assemble). A strictly
+        sequential order left the device idle for the whole host-glue
+        window (measured ~0.1-0.6 s/iter on the tunnel). Splitting
+        dispatch from completion lets callers additionally pipeline
+        ACROSS chunks — enqueue chunk i+1 before blocking on chunk i —
+        so the device also computes through chunk i's ITM readback and
+        result assembly (see run_chunks_pipelined).
         """
-        V = len(chunk)
         F = _num_frames(chunk[0]["frames"])
-        results = []
 
         # frames go to the device ONCE; the caption and filter paths share
         # the device-resident array. Per-video frames may already be device
@@ -337,28 +359,27 @@ class CapFiltEngine:
         # be uint8 RGB or YUV420Frames plane tuples.
         all_frames_dev = self._put(_concat_frames([c["frames"] for c in chunk]))
 
-        # 1. caption all frames of all videos in one program.
-        # Dispatch order is load-bearing for throughput: the caption
-        # programs (encode + beam decode) AND the filter-side ViT encode
-        # are all enqueued BEFORE the host blocks on the caption-token
-        # readback, so the device runs the filter encode while the host
-        # waits out the decode + readback RTT and does its string work
-        # (detokenize/dedup/assemble). A strictly sequential order left
-        # the device idle for the whole host-glue window (measured ~0.1-
-        # 0.6 s/iter on the tunnel).
         need_filter = config.get("filter", True)
+        seqs_dev = None
         frame_embeds = None
         if config.get("caption", True):
             rng_key = jax.random.PRNGKey(0) if rng is None else rng
             sample = config.get("generation_mode", "beam") != "beam"
             seqs_dev = self._caption(all_frames_dev, rng_key, sample=sample)
-            if need_filter:
-                frame_embeds = self.encode_filter_frames(all_frames_dev, F)
-            captions = B.decode_captions(self.tok, np.asarray(seqs_dev), self.prompt)
+        if need_filter:
+            frame_embeds = self.encode_filter_frames(all_frames_dev, F)
+        return ChunkDispatch(chunk, config, F, seqs_dev, frame_embeds)
+
+    def complete_chunk(self, d: ChunkDispatch) -> list[CapFiltResult]:
+        """Block on a dispatched chunk's device work and assemble results."""
+        chunk, config, F = d.chunk, d.config, d.num_frm
+        frame_embeds = d.frame_embeds
+        results = []
+
+        if d.seqs_dev is not None:
+            captions = B.decode_captions(self.tok, np.asarray(d.seqs_dev), self.prompt)
         else:
             captions = None
-            if need_filter:
-                frame_embeds = self.encode_filter_frames(all_frames_dev, F)
 
         # 2. per-video candidate assembly (reference :166-196)
         generated_per_video: list[list[str]] = []
@@ -414,3 +435,38 @@ class CapFiltEngine:
             for v, item in enumerate(chunk):
                 results.append(CapFiltResult(item["video_id"], unfiltered[v], candidates_per_video[v]))
         return results
+
+    def run_chunk(self, chunk: list[dict], config: dict, rng=None) -> list[CapFiltResult]:
+        """Process one chunk of videos with already-decoded frames
+        (dispatch + complete; see those methods for the contract)."""
+        return self.complete_chunk(self.dispatch_chunk(chunk, config, rng))
+
+    def run_chunks_pipelined(self, chunks, config: dict, rngs=None):
+        """Yield per-chunk results with one chunk's device work in flight.
+
+        ``chunks`` is an iterable of run_chunk-style chunk lists. Chunk
+        i+1's programs are enqueued BEFORE blocking on chunk i's caption
+        readback, so the device computes through chunk i's readback RTTs
+        and host glue (ITM tokenization, dedup, result assembly) instead
+        of idling — results are byte-identical to sequential run_chunk
+        calls (the device executes the same programs in a compatible
+        order; tests/test_capfilt.py pins this).
+
+        ``rngs``: optional iterable of PRNG keys, one per chunk (nucleus
+        sampling mode); defaults to PRNGKey(0) per chunk like run_chunk.
+        """
+        it = iter(chunks)
+        rng_it = iter(rngs) if rngs is not None else None
+
+        def _dispatch(chunk):
+            rng = next(rng_it) if rng_it is not None else None
+            return self.dispatch_chunk(chunk, config, rng)
+
+        prev = None
+        for chunk in it:
+            d = _dispatch(chunk)
+            if prev is not None:
+                yield self.complete_chunk(prev)
+            prev = d
+        if prev is not None:
+            yield self.complete_chunk(prev)
