@@ -246,46 +246,34 @@ def main():
         upload_times.append(time.perf_counter() - t0)
         bufs[i] = buf
 
-    # one chunk's device work stays in flight throughout (as the CapFilt
-    # CLI runs): each timed iteration ENQUEUES chunk i's programs, then
-    # blocks on chunk i-1's results — the device computes through every
-    # readback RTT and host-glue window, so steady-state per-iter time is
-    # the device-bound time of one chunk (results byte-identical to
-    # sequential run_chunk; tests/test_capfilt.py pins it)
+    # Chunks complete sequentially. A cross-chunk in-flight variant was
+    # measured a wash (interleaved A/B, tools/ab_capfilt_pipeline.py:
+    # seq 123.4 f/s vs pipe 120.5 f/s median, pipe noisier) and
+    # removed; run_chunk's internal dispatch order already overlaps the
+    # filter-side encode with the caption readback + glue.
     upload(0)
-    upload(1)  # prime one chunk ahead (untimed)
-    in_flight = engine.dispatch_chunk(make_chunk(bufs.pop(0)), config,
-                                      rng=jax.random.PRNGKey(0))
     iter_times = []
-    for it in range(1, ITERS + 1):
+    for it in range(ITERS):
         t0 = time.perf_counter()
         th = threading.Thread(target=upload, args=(it + 1,))
         th.start()
-        nxt = engine.dispatch_chunk(make_chunk(bufs.pop(it)), config,
-                                    rng=jax.random.PRNGKey(it))
-        engine.complete_chunk(in_flight)
-        in_flight = nxt
+        engine.run_chunk(make_chunk(bufs.pop(it)), config,
+                         rng=jax.random.PRNGKey(it))
         th.join()
         iter_times.append(time.perf_counter() - t0)
         log(f"iter {it}: {iter_times[-1]:.2f}s (upload {upload_times[-1]:.2f}s)")
-    engine.complete_chunk(in_flight)  # drain (untimed)
 
     # compute-only: frames already device-resident (alternate two buffers)
-    dev_a = bufs.pop(ITERS + 1)
-    dev_b = jax.device_put(perturb(ITERS + 2))
+    dev_a = bufs.pop(ITERS)
+    dev_b = jax.device_put(perturb(ITERS + 1))
     jax.block_until_ready((dev_a, dev_b))
-    in_flight = engine.dispatch_chunk(make_chunk(dev_a), config,
-                                      rng=jax.random.PRNGKey(100))
     compute_times = []
-    for it in range(1, ITERS + 1):
+    for it in range(ITERS):
         t0 = time.perf_counter()
-        nxt = engine.dispatch_chunk(make_chunk(dev_a if it % 2 == 0 else dev_b),
-                                    config, rng=jax.random.PRNGKey(100 + it))
-        engine.complete_chunk(in_flight)
-        in_flight = nxt
+        engine.run_chunk(make_chunk(dev_a if it % 2 == 0 else dev_b),
+                         config, rng=jax.random.PRNGKey(100 + it))
         compute_times.append(time.perf_counter() - t0)
         log(f"compute-only iter {it}: {compute_times[-1]:.2f}s")
-    engine.complete_chunk(in_flight)  # drain (untimed)
 
     # median: robust to host CPU-steal / tunnel-rate spikes on shared boxes
     dt = float(np.median(iter_times))
@@ -320,8 +308,7 @@ def main():
         "upload_mb": round(upload_mb, 1),
         "config": f"BLIP-base {IMAGE_SIZE}px, {NUM_FRM} frm/video, beam=3 fixed 20-step decode "
                   f"(early_exit off), ITM max_filter, bf16, batch={VIDEOS_PER_BATCH} videos, "
-                  f"grouped-KV decode, {TRANSFER} ingest, pipelined upload, "
-                  f"cross-chunk dispatch (one chunk in flight)",
+                  f"grouped-KV decode, {TRANSFER} ingest, pipelined upload",
         "variance_note": "end_to_end_fps is bounded by the dev tunnel's host->device rate "
                          "(~5-45 MB/s by time of day; 44-119 f/s observed); value is the "
                          "upload-excluded chip throughput (98-135 f/s observed across "

@@ -143,19 +143,21 @@ def main(args, config):
             "text": item["text"],
         }
 
-    # one chunk's device work stays in flight: run_chunk ENQUEUES the new
-    # chunk's programs, then blocks on the PREVIOUS chunk's results — the
-    # device computes through each chunk's readback RTT and host glue
-    # (byte-identical to sequential completion; CapFiltEngine.dispatch_chunk)
-    in_flight = None  # (dispatch, meta, real)
-
-    def flush_in_flight():
-        nonlocal in_flight, n_frames
-        if in_flight is None:
-            return
-        d, meta, real = in_flight
-        in_flight = None
-        results = engine.complete_chunk(d)
+    # Chunks complete sequentially. A cross-chunk in-flight variant
+    # (dispatch chunk i+1 before completing chunk i) was measured a wash
+    # on this backend (interleaved A/B,
+    # benchmarks/capfilt_ab_pipeline.jsonl: seq 123.4 f/s vs pipe
+    # 120.5 f/s median, pipe noisier) and was removed. run_chunk itself
+    # already enqueues the filter-side encode before blocking on the
+    # caption readback, which is the overlap that does pay
+    # (CapFiltEngine.dispatch_chunk dispatch-order note).
+    def run_chunk(chunk, meta):
+        nonlocal n_frames
+        real = len(chunk)
+        # pad the chunk to a fixed size so the compiled program is reused
+        while len(chunk) < chunk_size:
+            chunk.append({**chunk[0]})
+        results = engine.run_chunk(chunk, config, rng=jax.random.PRNGKey(args.seed))
         for item, res in zip(meta, results[:real]):
             video_text_Cap_unfiltered[res.video_id] = res.unfiltered_text
             if res.text != []:
@@ -163,16 +165,6 @@ def main(args, config):
             else:
                 print("filter out video:", res.video_id)
         n_frames += real * num_frm
-
-    def run_chunk(chunk, meta):
-        nonlocal in_flight
-        real = len(chunk)
-        # pad the chunk to a fixed size so the compiled program is reused
-        while len(chunk) < chunk_size:
-            chunk.append({**chunk[0]})
-        d = engine.dispatch_chunk(chunk, config, rng=jax.random.PRNGKey(args.seed))
-        flush_in_flight()
-        in_flight = (d, meta, real)
 
     # host decode runs in a thread pool AHEAD of the device: while the TPU
     # works on chunk i, the host decodes chunk i+1 (the reference decodes
@@ -208,7 +200,6 @@ def main(args, config):
                 chunk, meta = [], []
         if chunk:
             run_chunk(chunk, meta)
-        flush_in_flight()
 
     dt = time.time() - t0
     if n_frames:

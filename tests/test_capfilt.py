@@ -290,16 +290,18 @@ def test_grouped_filter_matches_pair_scoring(engine):
     assert got == expect
 
 
-def test_run_chunks_pipelined_matches_sequential(engine, synthetic_video):
-    """Cross-chunk pipelining (dispatch chunk i+1 before completing chunk i)
-    is byte-identical to sequential run_chunk calls, with a realistic
-    threshold so both kept and dropped captions are covered."""
+def test_dispatch_complete_split_matches_run_chunk(engine, synthetic_video):
+    """dispatch_chunk/complete_chunk composed out of line (another chunk
+    dispatched in between) matches back-to-back run_chunk calls — the
+    split API tolerates interleaved dispatches even though the CLI and
+    bench complete sequentially (cross-chunk pipelining was measured a
+    wash and removed; see dispatch_chunk's docstring)."""
     from vidil_tpu.data.sampling import load_video_frames
 
     frames = preprocess_frames_pil(load_video_frames(synthetic_video, "uniform", 4), 32)
     rng = np.random.RandomState(3)
     chunks = []
-    for c in range(3):
+    for c in range(2):
         chunks.append([
             {"video_id": f"v{c}_{i}",
              "frames": np.clip(frames.astype(np.int32) + rng.randint(-30, 30), 0, 255).astype(np.uint8),
@@ -310,8 +312,9 @@ def test_run_chunks_pipelined_matches_sequential(engine, synthetic_video):
                   keep_original_caption=True, threshold=0.5, filter_mode="max_filter",
                   generation_mode="beam", do_sentence_tokenization=False)
     seq = [engine.run_chunk(list(c), config) for c in chunks]
-    pipe = list(engine.run_chunks_pipelined([list(c) for c in chunks], config))
-    assert len(pipe) == len(seq)
-    for rs, rp in zip(seq, pipe):
+    d0 = engine.dispatch_chunk(list(chunks[0]), config)
+    d1 = engine.dispatch_chunk(list(chunks[1]), config)
+    inter = [engine.complete_chunk(d0), engine.complete_chunk(d1)]
+    for rs, rp in zip(seq, inter):
         assert [(r.video_id, r.unfiltered_text, r.text) for r in rs] == \
                [(r.video_id, r.unfiltered_text, r.text) for r in rp]

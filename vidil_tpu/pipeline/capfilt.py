@@ -134,6 +134,7 @@ class CapFiltEngine:
         length_norm: str = "legacy",
         beam_group_kv: bool = False,
         early_exit: bool = True,
+        early_readback: bool = True,
         mesh=None,
     ):
         # mesh: optional jax.sharding.Mesh with a 'data' axis. When given,
@@ -142,6 +143,7 @@ class CapFiltEngine:
         # (the reference data-parallelizes inference by launching one
         # process per GPU; here it is one program over the device mesh).
         self.mesh = mesh
+        self.early_readback = early_readback
         if mesh is not None:
             from vidil_tpu.parallel.mesh import replicated
 
@@ -344,11 +346,17 @@ class CapFiltEngine:
         encode while the host waits out the decode + readback RTT and
         does its string work (detokenize/dedup/assemble). A strictly
         sequential order left the device idle for the whole host-glue
-        window (measured ~0.1-0.6 s/iter on the tunnel). Splitting
-        dispatch from completion lets callers additionally pipeline
-        ACROSS chunks — enqueue chunk i+1 before blocking on chunk i —
-        so the device also computes through chunk i's ITM readback and
-        result assembly (see run_chunks_pipelined).
+        window (measured ~0.1-0.6 s/iter on the tunnel).
+
+        Pipelining ACROSS chunks (enqueue chunk i+1 before completing
+        chunk i) was tried and measured a wash on this backend
+        (interleaved A/B: seq 123.4 f/s vs pipe 120.5 f/s median, pipe
+        noisier with a 3.2 s fill iteration;
+        tools/ab_capfilt_pipeline.py, artifact
+        benchmarks/capfilt_ab_pipeline.jsonl) — and was removed: this
+        dispatch order already captures the overlap the backend permits,
+        and the residual glue (caption detokenize -> ITM re-tokenize) is
+        serialized by data dependency, not by schedule.
         """
         F = _num_frames(chunk[0]["frames"])
 
@@ -366,6 +374,20 @@ class CapFiltEngine:
             rng_key = jax.random.PRNGKey(0) if rng is None else rng
             sample = config.get("generation_mode", "beam") != "beam"
             seqs_dev = self._caption(all_frames_dev, rng_key, sample=sample)
+            # Request the caption-token D2H copy now, before the filter
+            # encode enters the queue, so on hosts with independent DMA
+            # the small transfer overlaps the filter encode rather than
+            # being requested only at complete_chunk's np.asarray.
+            # Measured NEUTRAL on the dev tunnel (interleaved A/B: late
+            # 2.093 s vs early 2.085 s median at batch 64 —
+            # tools/ab_capfilt_readback.py, artifact
+            # benchmarks/capfilt_ab_readback.jsonl); kept because the
+            # async request is free and the win case costs nothing here.
+            if self.early_readback:
+                try:
+                    seqs_dev.copy_to_host_async()
+                except AttributeError:
+                    pass  # non-jax.Array stand-ins in tests
         if need_filter:
             frame_embeds = self.encode_filter_frames(all_frames_dev, F)
         return ChunkDispatch(chunk, config, F, seqs_dev, frame_embeds)
@@ -440,33 +462,3 @@ class CapFiltEngine:
         """Process one chunk of videos with already-decoded frames
         (dispatch + complete; see those methods for the contract)."""
         return self.complete_chunk(self.dispatch_chunk(chunk, config, rng))
-
-    def run_chunks_pipelined(self, chunks, config: dict, rngs=None):
-        """Yield per-chunk results with one chunk's device work in flight.
-
-        ``chunks`` is an iterable of run_chunk-style chunk lists. Chunk
-        i+1's programs are enqueued BEFORE blocking on chunk i's caption
-        readback, so the device computes through chunk i's readback RTTs
-        and host glue (ITM tokenization, dedup, result assembly) instead
-        of idling — results are byte-identical to sequential run_chunk
-        calls (the device executes the same programs in a compatible
-        order; tests/test_capfilt.py pins this).
-
-        ``rngs``: optional iterable of PRNG keys, one per chunk (nucleus
-        sampling mode); defaults to PRNGKey(0) per chunk like run_chunk.
-        """
-        it = iter(chunks)
-        rng_it = iter(rngs) if rngs is not None else None
-
-        def _dispatch(chunk):
-            rng = next(rng_it) if rng_it is not None else None
-            return self.dispatch_chunk(chunk, config, rng)
-
-        prev = None
-        for chunk in it:
-            d = _dispatch(chunk)
-            if prev is not None:
-                yield self.complete_chunk(prev)
-            prev = d
-        if prev is not None:
-            yield self.complete_chunk(prev)
