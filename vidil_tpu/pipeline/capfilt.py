@@ -34,6 +34,9 @@ from vidil_tpu.config import MedConfig, ViTConfig
 from vidil_tpu.models import blip as B
 from vidil_tpu.ops.generation import GenerationConfig
 from vidil_tpu.ops.image import CLIP_MEAN, CLIP_STD, YUV420Frames, normalize, yuv420_to_rgb
+from vidil_tpu.pipeline.fused_filter import (
+    fused_applicable, itm_ids_from_seqs, itm_ids_from_seqs_np,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -111,6 +114,7 @@ class ChunkDispatch:
     num_frm: int
     seqs_dev: object | None      # (V*F, max_length) caption token ids, async
     frame_embeds: object | None  # (V, F, P, D) filterer ViT outputs, async
+    itm_probs: object | None = None  # (V, F, F) fused-filter probs, async
 
 
 class CapFiltEngine:
@@ -135,6 +139,7 @@ class CapFiltEngine:
         beam_group_kv: bool = False,
         early_exit: bool = True,
         early_readback: bool = True,
+        fused_filter: bool = True,
         mesh=None,
     ):
         # mesh: optional jax.sharding.Mesh with a 'data' axis. When given,
@@ -144,6 +149,11 @@ class CapFiltEngine:
         # process per GPU; here it is one program over the device mesh).
         self.mesh = mesh
         self.early_readback = early_readback
+        self.fused_filter = fused_filter
+        # observability: how often the fused filter's host verification
+        # had to re-score videos through the classic path
+        self.fused_fallback_videos = 0
+        self.fused_total_videos = 0
         if mesh is not None:
             from vidil_tpu.parallel.mesh import replicated
 
@@ -235,8 +245,7 @@ class CapFiltEngine:
             logits = B.blip_itm_scores(params, img, ids_rep, mask_rep, med_cfg, dtype=dtype)
             return jax.nn.softmax(logits, axis=1)[:, 1].reshape(n, F)
 
-        @jax.jit
-        def _itm_grouped_fn(params, frame_embeds, text_ids, text_mask):
+        def _itm_grouped_core(params, frame_embeds, text_ids, text_mask):
             """Grouped (text, frame) scoring: frame_embeds (V, F, P, D),
             text_ids/mask (V, T, L) (texts padded per video) -> probs
             (V, T, F). All T texts of a video share each frame's memory
@@ -254,11 +263,45 @@ class CapFiltEngine:
             probs = jax.nn.softmax(logits, axis=1)[:, 1].reshape(V, F, T)
             return probs.transpose(0, 2, 1)  # (V, T, F)
 
+        _itm_grouped_fn = jax.jit(_itm_grouped_core)
+
+        @jax.jit
+        def _itm_fused_fn(params, frame_embeds, seqs):
+            """Fused filter: build the ITM text ids ON DEVICE from the
+            generated sequences (fused_filter.itm_ids_from_seqs — the
+            token-level equivalent of tokenizer(decode(seq)) for
+            retok-stable captions) and score every frame's caption
+            against every frame of its video: (V, F, P, D) x (V*F, Lgen)
+            -> probs (V, T=F, F). Lets the whole chunk run as one
+            uninterrupted device chain; complete_chunk verifies
+            retok-stability per row and falls back to the classic path
+            for rows where it fails."""
+            V, F = frame_embeds.shape[:2]
+            ids, tmask = itm_ids_from_seqs(
+                seqs, len(self.prompt_ids), tokenizer.cls_token_id,
+                tokenizer.sep_token_id, tokenizer.pad_token_id,
+                itm_max_text_len)
+            L = ids.shape[1]
+            ids = ids.reshape(V, F, L)
+            tmask = tmask.reshape(V, F, L)
+            # pad rows to the classic path's text bucket so the grouped
+            # program runs with the SAME group_size/shapes as
+            # filter_captions_batch would (bitwise-identical per-row
+            # probs); padded rows mirror classic: zero ids, mask [1,0..]
+            T = _round_up(F, 4)
+            if T != F:
+                pad_ids = jnp.zeros((V, T - F, L), jnp.int32)
+                pad_mask = jnp.zeros((V, T - F, L), jnp.int32).at[:, :, 0].set(1)
+                ids = jnp.concatenate([ids, pad_ids], axis=1)
+                tmask = jnp.concatenate([tmask, pad_mask], axis=1)
+            return _itm_grouped_core(params, frame_embeds, ids, tmask)
+
         self._caption = _caption
         self._encode_filter_frames = lambda frames, num_frm: _encode_filter(
             self.filterer_params, frames, num_frm)
         self._itm_pairs = lambda *a: _itm_pairs_fn(self.filterer_params, *a)
         self._itm_grouped = lambda *a: _itm_grouped_fn(self.filterer_params, *a)
+        self._itm_fused = lambda *a: _itm_fused_fn(self.filterer_params, *a)
 
     def _put(self, x):
         """Device placement honoring the mesh: shard dim 0 over 'data'
@@ -390,7 +433,23 @@ class CapFiltEngine:
                     pass  # non-jax.Array stand-ins in tests
         if need_filter:
             frame_embeds = self.encode_filter_frames(all_frames_dev, F)
-        return ChunkDispatch(chunk, config, F, seqs_dev, frame_embeds)
+        itm_probs = None
+        if self.fused_filter and seqs_dev is not None and need_filter \
+                and fused_applicable(config):
+            # Fused filter: ITM text ids built on device from the
+            # generated sequences, so the chunk's entire device work
+            # (encode -> decode -> filter encode -> ITM) is enqueued
+            # here with no host round trip in the middle. complete_chunk
+            # verifies per-row retok-stability and falls back to the
+            # classic path where it fails, keeping results exactly equal
+            # to the classic path.
+            itm_probs = self._itm_fused(frame_embeds, seqs_dev)
+            if self.early_readback:
+                try:
+                    itm_probs.copy_to_host_async()
+                except AttributeError:
+                    pass
+        return ChunkDispatch(chunk, config, F, seqs_dev, frame_embeds, itm_probs)
 
     def complete_chunk(self, d: ChunkDispatch) -> list[CapFiltResult]:
         """Block on a dispatched chunk's device work and assemble results."""
@@ -437,9 +496,12 @@ class CapFiltEngine:
                 generated_per_video if config.get("filter_generated_only", False)
                 else candidates_per_video
             )
-            filtered = self.filter_captions_batch(
-                frame_embeds, to_filter, config["threshold"], config.get("filter_mode", "max_filter")
-            )
+            if d.itm_probs is not None:
+                filtered = self._fused_filter_results(d, to_filter, captions)
+            else:
+                filtered = self.filter_captions_batch(
+                    frame_embeds, to_filter, config["threshold"], config.get("filter_mode", "max_filter")
+                )
             for v, item in enumerate(chunk):
                 if config.get("filter_generated_only", False):
                     # reference :178-204: item['text'] keeps the RAW original
@@ -457,6 +519,79 @@ class CapFiltEngine:
             for v, item in enumerate(chunk):
                 results.append(CapFiltResult(item["video_id"], unfiltered[v], candidates_per_video[v]))
         return results
+
+    def _fused_filter_results(self, d: ChunkDispatch, to_filter: list[list[str]],
+                              captions: list[str]) -> list[list[str]]:
+        """Fused-path replacement for filter_captions_batch.
+
+        Each dedup'd text's score is looked up from the device-computed
+        (V, T, F) probs at its first-occurrence frame row, after
+        VERIFYING that re-tokenizing the decoded caption on the host
+        reproduces exactly the ids the device scored
+        (fused_filter.itm_ids_from_seqs_np mirror). Videos with any
+        unstable row — unusual WordPiece merges, mid-sequence special
+        tokens — are re-scored in ONE batched classic call with the same
+        text bucket the full classic program would have used, so every
+        ITM input is token-exact either way; a chunk-level bucket
+        mismatch (possible at num_frm > 4 with heavy dedup) falls back
+        to the whole-chunk classic call outright. Cumulative fallback
+        counts are kept on the engine (`fused_fallback_videos` /
+        `fused_total_videos`) for observability.
+        """
+        config, F = d.config, d.num_frm
+        probs = np.asarray(d.itm_probs)   # (V, T, F)
+        mode = config.get("filter_mode", "max_filter")
+        threshold = config["threshold"]
+        self.fused_total_videos += len(to_filter)
+
+        # the fused program bucketed its rows to round_up(F, 4); the
+        # classic program buckets to round_up(max #texts, 4) — equal
+        # shapes (hence bitwise-equal per-row probs) only when the
+        # buckets coincide
+        max_n = max((len(t) for t in to_filter), default=0)
+        T_classic = _round_up(max_n, 4)
+        if max_n > 0 and T_classic != probs.shape[1]:
+            self.fused_fallback_videos += len(to_filter)
+            return self.filter_captions_batch(d.frame_embeds, to_filter,
+                                              threshold, mode)
+
+        seqs_np = np.asarray(d.seqs_dev)
+        dev_ids, _ = itm_ids_from_seqs_np(
+            seqs_np, len(self.prompt_ids), self.tok.cls_token_id,
+            self.tok.sep_token_id, self.tok.pad_token_id, self.itm_max_text_len)
+        out: list[list[str] | None] = []
+        fallback: list[int] = []
+        for v, texts in enumerate(to_filter):
+            caps_v = captions[v * F:(v + 1) * F]
+            keep: list[str] = []
+            ok = True
+            if texts:
+                enc = self.tok(texts, padding="max_length", truncation=True,
+                               max_length=self.itm_max_text_len)
+                for t_idx, t in enumerate(texts):
+                    f0 = caps_v.index(t) if t in caps_v else -1
+                    if f0 < 0 or not np.array_equal(enc.input_ids[t_idx],
+                                                    dev_ids[v * F + f0]):
+                        ok = False
+                        break
+                    row = probs[v, f0]
+                    agg = row.max() if mode == "max_filter" else row.sum() / F
+                    if agg > threshold:
+                        keep.append(t)
+            if ok:
+                out.append(keep)
+            else:
+                out.append(None)
+                fallback.append(v)
+        if fallback:
+            self.fused_fallback_videos += len(fallback)
+            fe = d.frame_embeds[np.asarray(fallback)]
+            rescored = self.filter_captions_batch(
+                fe, [to_filter[v] for v in fallback], threshold, mode,
+                text_bucket=T_classic)
+            for v, res in zip(fallback, rescored):
+                out[v] = res
+        return out
 
     def run_chunk(self, chunk: list[dict], config: dict, rng=None) -> list[CapFiltResult]:
         """Process one chunk of videos with already-decoded frames
