@@ -75,6 +75,12 @@ def build_engine(config, dtype=None):
         # token-identical captions (tests/test_capfilt.py); costs a slower
         # one-time compile, so it is config-disableable
         beam_group_kv=config.get("beam_group_kv", True),
+        # fused filter: ITM text ids built on device from the generated
+        # sequences (host-verified, classic fallback; results always
+        # equal the classic path) — removes the mid-chunk host round
+        # trip so the in-flight chunk overlap below actually pays
+        # (+27% measured: benchmarks/capfilt_ab_fused.jsonl)
+        fused_filter=config.get("fused_filter", True),
         mesh=mesh,
     )
 
@@ -143,21 +149,22 @@ def main(args, config):
             "text": item["text"],
         }
 
-    # Chunks complete sequentially. A cross-chunk in-flight variant
-    # (dispatch chunk i+1 before completing chunk i) was measured a wash
-    # on this backend (interleaved A/B,
-    # benchmarks/capfilt_ab_pipeline.jsonl: seq 123.4 f/s vs pipe
-    # 120.5 f/s median, pipe noisier) and was removed. run_chunk itself
-    # already enqueues the filter-side encode before blocking on the
-    # caption readback, which is the overlap that does pay
-    # (CapFiltEngine.dispatch_chunk dispatch-order note).
-    def run_chunk(chunk, meta):
+    # Dispatch schedule, evidence-driven (benchmarks/capfilt_ab_*.jsonl):
+    # with the CLASSIC filter, a cross-chunk in-flight variant measured a
+    # wash (the mid-chunk caption readback -> re-tokenize -> ITM dispatch
+    # host dependency serializes regardless of schedule), so classic
+    # chunks complete sequentially. The FUSED filter removes that
+    # dependency (ITM ids built on device), and there one chunk in
+    # flight is worth +27% (161.5 vs 127 f/s) — so the in-flight overlap
+    # is applied exactly when the fused path engages.
+    from vidil_tpu.pipeline.fused_filter import fused_applicable
+
+    keep_in_flight = engine.fused_filter and fused_applicable(config)
+    in_flight = None  # (dispatch, meta, real)
+
+    def drain_chunk(d, meta, real):
         nonlocal n_frames
-        real = len(chunk)
-        # pad the chunk to a fixed size so the compiled program is reused
-        while len(chunk) < chunk_size:
-            chunk.append({**chunk[0]})
-        results = engine.run_chunk(chunk, config, rng=jax.random.PRNGKey(args.seed))
+        results = engine.complete_chunk(d)
         for item, res in zip(meta, results[:real]):
             video_text_Cap_unfiltered[res.video_id] = res.unfiltered_text
             if res.text != []:
@@ -165,6 +172,26 @@ def main(args, config):
             else:
                 print("filter out video:", res.video_id)
         n_frames += real * num_frm
+
+    def flush_in_flight():
+        nonlocal in_flight
+        if in_flight is not None:
+            d, meta, real = in_flight
+            in_flight = None
+            drain_chunk(d, meta, real)
+
+    def run_chunk(chunk, meta):
+        nonlocal in_flight
+        real = len(chunk)
+        # pad the chunk to a fixed size so the compiled program is reused
+        while len(chunk) < chunk_size:
+            chunk.append({**chunk[0]})
+        d = engine.dispatch_chunk(chunk, config, rng=jax.random.PRNGKey(args.seed))
+        if keep_in_flight:
+            flush_in_flight()
+            in_flight = (d, meta, real)
+        else:
+            drain_chunk(d, meta, real)
 
     # host decode runs in a thread pool AHEAD of the device: while the TPU
     # works on chunk i, the host decodes chunk i+1 (the reference decodes
@@ -200,6 +227,7 @@ def main(args, config):
                 chunk, meta = [], []
         if chunk:
             run_chunk(chunk, meta)
+        flush_in_flight()
 
     dt = time.time() - t0
     if n_frames:

@@ -55,8 +55,12 @@ def main():
     # measure fused + full classic fallback (double ITM) instead of the
     # fused fast path. Real BLIP captions are natural words (stable), so
     # the representative bench vocab is all plain words.
-    vocab_path = _os.path.join(tempfile.gettempdir(), "bench_vocab_stable.txt")
-    base = (["[PAD]"] + [f"word{i}" for i in range(99)]
+    # ... and the PROMPT words must be real vocab entries: with "a",
+    # "picture", "of" missing they encode to [UNK], decode skips them,
+    # the prompt-strip then eats 13 chars of actual caption, and every
+    # row fails verification (first stable-vocab run: fallback 64/64).
+    vocab_path = _os.path.join(tempfile.gettempdir(), "bench_vocab_stable2.txt")
+    base = (["[PAD]", "a", "picture", "of"] + [f"word{i}" for i in range(96)]
             + ["[UNK]", "[CLS]", "[SEP]", "[MASK]"])
     with open(vocab_path, "w", encoding="utf-8") as f:
         f.write("\n".join(base + [f"tok{i}" for i in range(30418)]) + "\n")

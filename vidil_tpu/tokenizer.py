@@ -510,3 +510,25 @@ def write_test_vocab(path: str, words: list[str]) -> None:
             seen.add(w)
     with open(path, "w", encoding="utf-8") as f:
         f.write("\n".join(out) + "\n")
+
+
+def write_bench_vocab(path: str) -> None:
+    """Full-size (30524 with [DEC]/[ENC]) RETOK-STABLE synthetic vocab for
+    throughput benches of the CapFilt path with random weights.
+
+    Differs from the canonical layout in two load-bearing ways:
+    * ids 1-99 are plain words, not [unusedN] — a random-weight decoder
+      generates low ids freely, and "[unusedN]" does not survive
+      decode->tokenize (BasicTokenizer splits the brackets), which would
+      force the fused filter's verification into permanent fallback;
+    * the CapFilt prompt words "a picture of" are real entries — as
+      [UNK]s they are dropped by decode and the prompt-strip then eats
+      13 chars of caption, another permanent-fallback trap.
+    A real BLIP checkpoint emits natural words (retok-stable), so this
+    layout is the representative one for benching; vocab size matches
+    bert-base-uncased + BLIP specials.
+    """
+    base = (["[PAD]", "a", "picture", "of"] + [f"word{i}" for i in range(96)]
+            + ["[UNK]", "[CLS]", "[SEP]", "[MASK]"])
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(base + [f"tok{i}" for i in range(30418)]) + "\n")
