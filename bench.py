@@ -121,13 +121,16 @@ def main():
     from vidil_tpu.config import MedConfig, ViTConfig
     from vidil_tpu.ops.image import YUV420Frames
     from vidil_tpu.pipeline.capfilt import CapFiltEngine
-    from vidil_tpu.tokenizer import BlipTokenizer, write_test_vocab
+    from vidil_tpu.tokenizer import BlipTokenizer, write_bench_vocab
 
-    # synthetic full-size vocab (weights are random; throughput only)
+    # synthetic full-size RETOK-STABLE vocab (weights are random; throughput
+    # only): plain-word entries so decode->retokenize is the identity and
+    # the fused filter's verification takes its fast path, as it does with
+    # a real checkpoint's natural-language captions (write_bench_vocab doc)
     import tempfile, os
 
-    vocab_path = os.path.join(tempfile.gettempdir(), "bench_vocab.txt")
-    write_test_vocab(vocab_path, [f"tok{i}" for i in range(30418)])
+    vocab_path = os.path.join(tempfile.gettempdir(), "bench_vocab_stable2.txt")
+    write_bench_vocab(vocab_path)
     tok = BlipTokenizer(vocab_path)
 
     vit_cfg = ViTConfig.from_name("base", IMAGE_SIZE)
@@ -246,34 +249,51 @@ def main():
         upload_times.append(time.perf_counter() - t0)
         bufs[i] = buf
 
-    # Chunks complete sequentially. A cross-chunk in-flight variant was
-    # measured a wash (interleaved A/B, tools/ab_capfilt_pipeline.py:
-    # seq 123.4 f/s vs pipe 120.5 f/s median, pipe noisier) and
-    # removed; run_chunk's internal dispatch order already overlaps the
-    # filter-side encode with the caption readback + glue.
+    # Dispatch schedule matches the CapFilt CLI's fused in-flight path
+    # (run_video_CapFilt.py): the fused filter removes the mid-chunk host
+    # round trip, so keeping ONE chunk in flight (dispatch chunk i+1
+    # before completing chunk i) overlaps chunk i's readback + host glue
+    # with chunk i+1's device work (+27% on the classic sequential
+    # schedule: benchmarks/capfilt_ab_fused.jsonl). With the CLASSIC
+    # filter the same overlap measured a wash — the host dependency in
+    # the middle of each chunk serializes any schedule — which is why
+    # the CLI gates the in-flight schedule on the fused path.
     upload(0)
     iter_times = []
+    in_flight = engine.dispatch_chunk(make_chunk(bufs.pop(0)), config,
+                                      rng=jax.random.PRNGKey(0))
+    upload(1)
     for it in range(ITERS):
         t0 = time.perf_counter()
-        th = threading.Thread(target=upload, args=(it + 1,))
+        th = threading.Thread(target=upload, args=(it + 2,))
         th.start()
-        engine.run_chunk(make_chunk(bufs.pop(it)), config,
-                         rng=jax.random.PRNGKey(it))
+        nxt = engine.dispatch_chunk(make_chunk(bufs.pop(it + 1)), config,
+                                    rng=jax.random.PRNGKey(it + 1))
+        engine.complete_chunk(in_flight)
+        in_flight = nxt
         th.join()
         iter_times.append(time.perf_counter() - t0)
         log(f"iter {it}: {iter_times[-1]:.2f}s (upload {upload_times[-1]:.2f}s)")
+    engine.complete_chunk(in_flight)
 
-    # compute-only: frames already device-resident (alternate two buffers)
-    dev_a = bufs.pop(ITERS)
-    dev_b = jax.device_put(perturb(ITERS + 1))
+    # compute-only: frames already device-resident (alternate two buffers),
+    # same one-chunk-in-flight schedule, steady state (fill excluded)
+    dev_a = bufs.pop(ITERS + 1)
+    dev_b = jax.device_put(perturb(ITERS + 2))
     jax.block_until_ready((dev_a, dev_b))
     compute_times = []
+    in_flight = engine.dispatch_chunk(make_chunk(dev_a), config,
+                                      rng=jax.random.PRNGKey(100))
     for it in range(ITERS):
         t0 = time.perf_counter()
-        engine.run_chunk(make_chunk(dev_a if it % 2 == 0 else dev_b),
-                         config, rng=jax.random.PRNGKey(100 + it))
+        nxt = engine.dispatch_chunk(make_chunk(dev_b if it % 2 == 0 else dev_a),
+                                    config, rng=jax.random.PRNGKey(101 + it))
+        engine.complete_chunk(in_flight)
+        in_flight = nxt
         compute_times.append(time.perf_counter() - t0)
         log(f"compute-only iter {it}: {compute_times[-1]:.2f}s")
+    engine.complete_chunk(in_flight)
+    log(f"fused-filter fallbacks: {engine.fused_fallback_videos}/{engine.fused_total_videos} videos")
 
     # median: robust to host CPU-steal / tunnel-rate spikes on shared boxes
     dt = float(np.median(iter_times))
@@ -308,12 +328,16 @@ def main():
         "upload_mb": round(upload_mb, 1),
         "config": f"BLIP-base {IMAGE_SIZE}px, {NUM_FRM} frm/video, beam=3 fixed 20-step decode "
                   f"(early_exit off), ITM max_filter, bf16, batch={VIDEOS_PER_BATCH} videos, "
-                  f"grouped-KV decode, {TRANSFER} ingest, pipelined upload",
+                  f"grouped-KV decode, {TRANSFER} ingest, pipelined upload, fused filter "
+                  f"with one chunk in flight (the CLI's schedule; times are steady-state "
+                  f"per-chunk, readback+glue overlapped with the next chunk's device work)",
+        "fused_fallback_videos": engine.fused_fallback_videos,
+        "fused_total_videos": engine.fused_total_videos,
         "variance_note": "end_to_end_fps is bounded by the dev tunnel's host->device rate "
-                         "(~5-45 MB/s by time of day; 44-119 f/s observed); value is the "
-                         "upload-excluded chip throughput (98-135 f/s observed across "
-                         "rounds 2-3; swings with chip/tunnel state by day, stable within "
-                         "a session)",
+                         "(~5-45 MB/s by time of day; 44-151 f/s observed); value is the "
+                         "upload-excluded chip throughput (98-135 f/s sequential-schedule "
+                         "rounds 2-3; 155-161 with the fused in-flight schedule; swings "
+                         "with chip/tunnel state by day, stable within a session)",
         "baseline_note": f"reference publishes no throughput; baseline = estimated A100 "
                          f"per-video-loop rate {BASELINE_FRAMES_PER_SEC_A100_ESTIMATE} frames/s",
         "device": str(jax.devices()[0]),
