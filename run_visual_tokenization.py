@@ -41,11 +41,26 @@ def _local_mesh(config):
     return Mesh(np.asarray(devs), ("data",))
 
 
+def _compute_dtype(config, dtype):
+    """Tower compute dtype: bf16 by default (the CapFilt CLI's stance —
+    MXU-rate matmuls with fp32 LN/softmax islands and an fp32 HIGHEST
+    scoring matmul on top); `compute_dtype: float32` pins full-fp32
+    towers for maximum-conservatism parity runs."""
+    import jax.numpy as jnp
+
+    if dtype is not None:
+        return dtype
+    name = config.get("compute_dtype", "bfloat16")
+    return {"bfloat16": jnp.bfloat16, "float32": None}[name]
+
+
 def build_clip_engine(config, dtype=None):
     from vidil_tpu.config import CLIPConfig
     from vidil_tpu.models.convert import convert_clip, load_torch_state_dict
     from vidil_tpu.pipeline.visual_tokenization import ClipTokenizationEngine
     from vidil_tpu.tokenizer import ClipBPETokenizer
+
+    dtype = _compute_dtype(config, dtype)
 
     if "clip_config" in config:
         clip_cfg = CLIPConfig(**config["clip_config"])
@@ -66,6 +81,7 @@ def build_blip_engine(config, dtype=None):
     from vidil_tpu.pipeline.visual_tokenization import BlipTokenizationEngine
     from vidil_tpu.tokenizer import BlipTokenizer
 
+    dtype = _compute_dtype(config, dtype)
     if "vit_config" in config:
         vit_cfg = ViTConfig(image_size=config["image_size"], **config["vit_config"])
     else:
@@ -185,6 +201,7 @@ def main(args, config):
         out = predict_videos(
             engine, video_frames, captions, visual_token_texts, prompt_functions,
             topk_visualize=config["topk_visualize"], text_cache=text_cache,
+            pad_to_videos=chunk_size,
         )
         videoid_2_visual_tokens.update(out)
         n_frames += len(video_frames) * num_frm
@@ -197,7 +214,15 @@ def main(args, config):
             start_time=config.get("start_time"), end_time=config.get("end_time"),
             fps=config.get("fps", -1),
         )
-        return None if frames is None else preprocess(frames)
+        if frames is None:
+            return None
+        # device_put from the worker thread: the host->device upload of
+        # chunk i+1 overlaps chunk i's compute (same structure as
+        # run_video_CapFilt.py's decode threads; the upload was serial
+        # with compute before and dominated end-to-end on slow links)
+        import jax
+
+        return jax.device_put(preprocess(frames))
 
     # bounded decode prefetch: host decodes ahead while the TPU scores
     from collections import deque

@@ -409,30 +409,55 @@ def predict_videos(
     prompt_functions: dict,
     topk_visualize: int = 5,
     text_cache: dict | None = None,
+    pad_to_videos: int = 0,
 ) -> dict:
     """Score every frame of every video against every ontology category.
 
-    video_frames: {video_id: (F, S, S, C) uint8 preprocessed frames}
+    video_frames: {video_id: (F, S, S, C) uint8 preprocessed frames} —
+    values may be host numpy OR device arrays (the CLI device_puts them
+    from its decode threads so the upload overlaps the previous chunk's
+    compute).
     captions: {video_id: caption str}
+    pad_to_videos: pad the frame batch to this many videos by repeating
+    the last video so tail chunks reuse the full chunk's compiled program
+    (fresh per-shape compiles are minutes on remote-compile backends);
+    padded rows are computed and discarded. Per-frame outputs are
+    row-independent within a program, so the padding rows' CONTENT never
+    affects real rows; reruns with the same chunking are byte-identical
+    (the determinism contract the exact-match parity gate needs).
     Returns the reference's videoid_2_visual_tokens structure (:268-314).
     """
     blip_mode = isinstance(engine, BlipTokenizationEngine)
     video_ids = list(video_frames.keys())
     num_frm = next(iter(video_frames.values())).shape[0]
 
-    # frame side: all videos in batched calls
-    if blip_mode:
+    # frame side: the WHOLE chunk in one batched program (one dispatch +
+    # one readback instead of one per video — per-video calls serialized
+    # upload -> compute -> readback V times per chunk)
+    frames_list = [video_frames[v] for v in video_ids]
+    if pad_to_videos and len(video_ids) < pad_to_videos:
+        frames_list = frames_list + [frames_list[-1]] * (pad_to_videos - len(video_ids))
+    if any(not isinstance(f, np.ndarray) for f in frames_list):
         import jax.numpy as jnp
 
-        feats_list, embeds_list = [], []
-        for vid in video_ids:
-            f, e = engine.embed_frames(video_frames[vid])
-            feats_list.append(f)
-            embeds_list.append(e)
-        image_feats = jnp.concatenate(feats_list)  # device-resident
-        image_embeds = np.concatenate(embeds_list)
+        all_frames = jnp.concatenate([jnp.asarray(f) for f in frames_list])
+        if getattr(engine, "mesh", None) is not None:
+            # the CLI's decode threads committed the frames to the default
+            # device; reshard the batch over the mesh (engine._put passes
+            # jax.Arrays through untouched)
+            from vidil_tpu.parallel.mesh import batch_put
+
+            all_frames = batch_put(engine.mesh, all_frames)
     else:
-        image_embeds = np.concatenate([engine.embed_frames(video_frames[v]) for v in video_ids])
+        all_frames = np.concatenate(frames_list)
+    n_real = len(video_ids) * num_frm
+    if blip_mode:
+        image_feats, image_embeds = engine.embed_frames(all_frames)
+        image_embeds = image_embeds[:n_real]
+        # image_feats keeps its padded rows device-resident; the rerank
+        # below only gathers rows < n_real
+    else:
+        image_embeds = engine.embed_frames(all_frames)[:n_real]
 
     result = {
         vid: {"frame_tokens": [defaultdict(list) for _ in range(num_frm)], "caption": captions[vid]}
