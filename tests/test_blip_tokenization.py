@@ -113,3 +113,39 @@ def test_blip_rerank_scores_structure(workdir):
     row = engine.rerank(sims[0], feats[0], text_ids, text_atts)
     assert row.shape == (4,)
     assert (row == -100.0).sum() == 2  # k_test=2 -> 2 scored, 2 at -100
+
+
+def test_rerank_all_matches_blocked_rerank(workdir):
+    """rerank_all (scanned multi-block programs, bounded dispatches) must
+    produce exactly the per-block rerank_block results row for row —
+    including tail-row padding and the -100 outside-top-k fill."""
+    import run_visual_tokenization as cli
+
+    engine = cli.build_blip_engine(dict(workdir.config))
+    texts = ["A photo of dog", "A photo of cat", "A photo of bird",
+             "A photo of beach", "A photo of park"]
+    _, text_ids, text_atts = engine.embed_texts(texts)
+    text_embeds = engine.embed_texts(texts)[0]
+    # 5 frames: not a multiple of rows_per_block=2 -> exercises row padding;
+    # blocks_per_dispatch=2 over 3 blocks -> exercises dispatch padding
+    frames = np.random.RandomState(1).randint(
+        0, 256, (5, IMAGE_SIZE, IMAGE_SIZE, 3)).astype(np.uint8)
+    feats, embeds = engine.embed_frames(frames)
+    sims = engine.score(embeds, text_embeds)
+
+    fast = engine.rerank_all(sims, feats, text_ids, text_atts,
+                             rows_per_block=2, blocks_per_dispatch=2)
+
+    R = 2
+    blocks = []
+    for s in range(0, sims.shape[0], R):
+        e = min(sims.shape[0], s + R)
+        rows = sims[s:e]
+        idx = list(range(s, e)) + [e - 1] * (R - (e - s))
+        f = feats[np.asarray(idx, np.int32)]
+        if e - s < R:
+            rows = np.concatenate([rows, np.repeat(rows[-1:], R - (e - s), axis=0)])
+        blocks.append(engine.rerank_block(rows, f, text_ids, text_atts)[: e - s])
+    slow = np.concatenate(blocks)
+    np.testing.assert_allclose(fast, slow, rtol=0, atol=1e-5)
+    assert (fast == -100.0).sum() == 5 * (len(texts) - engine.k_test)

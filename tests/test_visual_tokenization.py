@@ -294,3 +294,31 @@ def test_clip_kmeans_selector(clip_workdir):
     assert all(i % 2 == 0 for i in idx)  # drawn from the downsampled grid
     np.random.seed(11)
     assert selector(vr, num_frm) == idx
+
+
+def test_predict_videos_padding_row_independent(clip_workdir):
+    """pad_to_videos pads tail chunks with copies of the last video so the
+    full chunk's compiled program is reused; real rows must be unaffected
+    by the padding (row-independent per-frame forward). On CPU the padded
+    and unpadded programs produce bitwise-equal real-row outputs, so the
+    whole result dict must match exactly."""
+    import run_visual_tokenization as cli
+    from vidil_tpu.pipeline.visual_tokenization import (
+        get_prefix_prompt_functions,
+        load_ontology,
+        predict_videos,
+    )
+
+    engine = cli.build_clip_engine(dict(clip_workdir.config))
+    onto = load_ontology(clip_workdir.config["ontology_paths"])
+    fns = get_prefix_prompt_functions("v1")
+    rng = np.random.RandomState(7)
+    frames = {f"v{i}": rng.randint(0, 256, size=(4, 28, 28, 3), dtype=np.uint8)
+              for i in range(2)}
+    caps = {k: [f"caption {k}"] for k in frames}
+    out_padded = predict_videos(engine, dict(frames), caps, onto, fns,
+                                topk_visualize=2, pad_to_videos=5)
+    out_plain = predict_videos(engine, dict(frames), caps, onto, fns,
+                               topk_visualize=2, pad_to_videos=0)
+    assert out_padded == out_plain
+    assert sorted(out_padded.keys()) == ["v0", "v1"]

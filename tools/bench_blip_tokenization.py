@@ -102,31 +102,48 @@ def main():
     jax.block_until_ready(image_feats)
     sims = rng.randn(FRAMES, N_TEXTS).astype(np.float32)
 
-    def run_all():
+    # A: per-block blocking round trips (pre-r03 predict_videos loop)
+    def run_blocked():
         outs = []
         for i in range(0, FRAMES, R):
             outs.append(engine.rerank_block(sims[i:i + R], image_feats[i:i + R],
                                             text_ids, text_atts))
         return np.concatenate(outs)
 
+    # B: scanned multi-block dispatches (r03 predict_videos path)
+    def run_scanned():
+        return engine.rerank_all(sims, image_feats, text_ids, text_atts,
+                                 rows_per_block=R)
+
     t = time.time()
-    run_all()
-    log(f"warmup (compile): {time.time()-t:.1f}s")
-    times = []
+    a = run_blocked()
+    b = run_scanned()
+    log(f"warmup (compile both): {time.time()-t:.1f}s")
+    log(f"max |blocked - scanned| = {np.max(np.abs(a - b)):.2e}")
+    times, times_scanned = [], []
     for it in range(3):
         t0 = time.perf_counter()
-        run_all()
+        run_blocked()
         times.append(time.perf_counter() - t0)
-        log(f"iter {it}: {times[-1]:.2f}s")
-    dt = float(np.median(times))
+        t0 = time.perf_counter()
+        run_scanned()
+        times_scanned.append(time.perf_counter() - t0)
+        log(f"iter {it}: blocked {times[-1]:.2f}s scanned {times_scanned[-1]:.2f}s")
+    dt_blocked = float(np.median(times))
+    dt = float(np.median(times_scanned))
     n_scorings = FRAMES * K_TEST
     emit("blip_tokenization", {
         "metric": "blip_tokenization_itm_rerank_throughput",
         "value": round(FRAMES / dt, 2),
         "unit": "frames/sec/chip",
         "itm_scorings_per_sec": round(n_scorings / dt, 1),
+        "blocked_fps": round(FRAMES / dt_blocked, 2),
+        "max_abs_diff_blocked_vs_scanned": float(np.max(np.abs(a - b))),
         "k_test": K_TEST, "frames": FRAMES, "block_rows": R,
         "image_size": IMAGE_SIZE,
+        "note": "value = scanned multi-block rerank (rerank_all, the CLI "
+                "path since r03); blocked_fps = one blocking round trip "
+                "per block (the pre-r03 loop)",
         "device": str(jax.devices()[0]),
     })
 

@@ -321,10 +321,30 @@ class BlipTokenizationEngine:
                                           dtype=dtype, group_size=k)
             return logits[:, 1]
 
+        def _itm_core(params, image_feats, ids, mask):
+            k = ids.shape[0] // image_feats.shape[0]
+            logits = BLIP.blip_itm_scores(params, image_feats, ids, mask, med_cfg,
+                                          dtype=dtype, group_size=k)
+            return logits[:, 1]
+
+        @jax.jit
+        def _itm_blocks(params, image_feats_all, idxs, ids, mask):
+            """Scanned multi-block rerank: idxs (nb, R) frame-row indices
+            into image_feats_all (N, P, D); ids/mask (nb, R*k, L). One
+            dispatch + one readback for nb blocks instead of one blocking
+            round trip per block (the per-block host RTT was ~25% of the
+            rerank wall clock at bench shapes)."""
+            def body(_, im):
+                i, d, m = im
+                return None, _itm_core(params, image_feats_all[i], d, m)
+
+            return jax.lax.scan(body, None, (idxs, ids, mask))[1]
+
         self._embed_texts = lambda ids, mask: _embed_texts(self.params, ids, mask)
         self._embed_texts_blocks = lambda ids, mask: _embed_texts_blocks(self.params, ids, mask)
         self._embed_frames_j = lambda frames: _embed_frames(self.params, frames)
         self._itm = lambda *a: _itm(self.params, *a)
+        self._itm_blocks = lambda *a: _itm_blocks(self.params, *a)
 
     def _put(self, x):
         if isinstance(x, jax.Array):
@@ -395,6 +415,56 @@ class BlipTokenizationEngine:
         for r in range(R):
             out[r, topk_idx[r]] = scores[r] + sims_rows[r][topk_idx[r]]
         return out
+
+    def rerank_all(self, sims, image_feats, text_ids, text_atts,
+                   rows_per_block: int = 4, blocks_per_dispatch: int = 16):
+        """ITM rerank of EVERY frame row in scanned multi-block programs.
+
+        sims: (N, n_texts) host; image_feats: (N, P, D) device (may hold
+        padded rows past N — never gathered). Same math as rerank_block
+        over ceil(N / rows_per_block) blocks, but blocks run
+        `blocks_per_dispatch` at a time inside one lax.scan program — one
+        dispatch + one readback per dispatch-group instead of one
+        blocking host round trip per block. Bounded dispatches keep each
+        device execution seconds-long (single multi-minute programs trip
+        worker watchdogs; see evals/retrieval.py _dispatch_blocks).
+        """
+        N, n_texts = sims.shape
+        k = min(self.k_test, n_texts)
+        R = rows_per_block
+        nb = -(-N // R)
+        topk_idx = np.argsort(sims, axis=1)[:, ::-1][:, :k]  # (N, k)
+        # pad rows to nb*R by repeating the last row (results dropped)
+        pad = nb * R - N
+        row_idx = np.concatenate([np.arange(N), np.full(pad, N - 1)]).astype(np.int32)
+        ids_all = text_ids[topk_idx[row_idx].reshape(-1)]      # (nb*R*k, L)
+        atts_all = text_atts[topk_idx[row_idx].reshape(-1)]
+        L = ids_all.shape[1]
+        idxs = row_idx.reshape(nb, R)
+        ids_b = ids_all.reshape(nb, R * k, L)
+        atts_b = atts_all.reshape(nb, R * k, L)
+
+        feats_dev = self._put(image_feats)
+        # clamp to the real block count: padding a SHORT dispatch up to
+        # blocks_per_dispatch computes the pad blocks for real (measured
+        # 1.5x slower than per-block calls when nb=8 padded to 16)
+        SB = max(1, min(blocks_per_dispatch, nb))
+        outs = []
+        for off in range(0, nb, SB):
+            ch_i, ch_d, ch_m = (a[off:off + SB] for a in (idxs, ids_b, atts_b))
+            real = ch_i.shape[0]
+            if real < SB:  # pad to one compiled shape; extra results dropped
+                ch_i, ch_d, ch_m = (
+                    np.concatenate([c, np.repeat(c[-1:], SB - real, axis=0)])
+                    for c in (ch_i, ch_d, ch_m))
+            out = np.asarray(self._itm_blocks(
+                feats_dev, self._put(ch_i), self._put(ch_d), self._put(ch_m)))
+            outs.append(out[:real])
+        itm = np.concatenate(outs).reshape(nb * R, k)[:N]
+        scores = np.full(sims.shape, -100.0, np.float32)
+        rows = np.arange(N)[:, None]
+        scores[rows, topk_idx] = itm + sims[rows, topk_idx]
+        return scores
 
 
 # ---------------------------------------------------------------------------
@@ -479,19 +549,11 @@ def predict_videos(
 
         sims = engine.score(image_embeds, text_embeds)  # (n_frames_total, n_texts)
         if blip_mode:
-            # rerank frames in blocks of rerank_rows per compiled program
-            R = getattr(engine, "rerank_rows", 4)
-            blocks = []
-            for s in range(0, sims.shape[0], R):
-                e = min(sims.shape[0], s + R)
-                rows = sims[s:e]
-                # pad via indices so the feature slice is one device gather
-                idx = list(range(s, e)) + [e - 1] * (R - (e - s))
-                feats = image_feats[np.asarray(idx, np.int32)]
-                if e - s < R:  # pad to keep one compiled shape
-                    rows = np.concatenate([rows, np.repeat(rows[-1:], R - (e - s), axis=0)])
-                blocks.append(engine.rerank_block(rows, feats, text_ids, text_atts)[: e - s])
-            score = np.concatenate(blocks)
+            # all frames' top-k_test reranks in scanned multi-block
+            # programs (one dispatch per 16 blocks of 4 rows instead of
+            # one blocking round trip per block)
+            score = engine.rerank_all(sims, image_feats, text_ids, text_atts,
+                                      rows_per_block=getattr(engine, "rerank_rows", 4))
         else:
             score = sims
 
