@@ -124,8 +124,7 @@ def test_rerank_all_matches_blocked_rerank(workdir):
     engine = cli.build_blip_engine(dict(workdir.config))
     texts = ["A photo of dog", "A photo of cat", "A photo of bird",
              "A photo of beach", "A photo of park"]
-    _, text_ids, text_atts = engine.embed_texts(texts)
-    text_embeds = engine.embed_texts(texts)[0]
+    text_embeds, text_ids, text_atts = engine.embed_texts(texts)
     # 5 frames: not a multiple of rows_per_block=2 -> exercises row padding;
     # blocks_per_dispatch=2 over 3 blocks -> exercises dispatch padding
     frames = np.random.RandomState(1).randint(
@@ -149,3 +148,50 @@ def test_rerank_all_matches_blocked_rerank(workdir):
     slow = np.concatenate(blocks)
     np.testing.assert_allclose(fast, slow, rtol=0, atol=1e-5)
     assert (fast == -100.0).sum() == 5 * (len(texts) - engine.k_test)
+
+
+def test_blip_predict_videos_padding_row_independent(workdir):
+    """BLIP mode keeps PADDED frame rows through scoring AND the ITM
+    rerank (so tail chunks reuse the full chunk's compiled scan shapes
+    end-to-end); the pad rows are sliced off only at the final
+    score[:n_real], so real rows must be bitwise-unaffected."""
+    import run_visual_tokenization as cli
+    from vidil_tpu.pipeline.visual_tokenization import (
+        get_prefix_prompt_functions,
+        load_ontology,
+        predict_videos,
+    )
+
+    engine = cli.build_blip_engine(dict(workdir.config))
+    onto = load_ontology(workdir.config["ontology_paths"])
+    fns = get_prefix_prompt_functions("v1")
+    rng = np.random.RandomState(3)
+    frames = {f"v{i}": rng.randint(0, 256, size=(2, IMAGE_SIZE, IMAGE_SIZE, 3),
+                                   dtype=np.uint8) for i in range(2)}
+    caps = {k: [f"caption {k}"] for k in frames}
+    out_padded = predict_videos(engine, dict(frames), caps, onto, fns,
+                                topk_visualize=2, pad_to_videos=5)
+    out_plain = predict_videos(engine, dict(frames), caps, onto, fns,
+                               topk_visualize=2, pad_to_videos=0)
+    assert out_padded == out_plain
+    assert sorted(out_padded.keys()) == ["v0", "v1"]
+
+
+def test_blip_cli_data_parallel_matches(workdir):
+    """data_parallel=true (BLIP mode) shards the ITM rerank batch over the
+    local 'data' mesh via the per-block path (the scanned block axis must
+    NOT be sharded — lax.scan slices it away per step, which would
+    replicate each step's work on every chip); visual_tokens.json must be
+    byte-identical to the unsharded run."""
+    import run_visual_tokenization as cli
+
+    outs = []
+    for run, dp in enumerate([False, True]):
+        out_dir = str(workdir.root / f"dp{run}")
+        args = types.SimpleNamespace(output_dir=out_dir, seed=42, world_size=1,
+                                     dist_url="env://", distributed=False,
+                                     device="cpu", encoder_version="blip")
+        os.makedirs(out_dir, exist_ok=True)
+        cli.main(args, dict(workdir.config, data_parallel=dp))
+        outs.append(open(os.path.join(out_dir, "visual_tokens.json")).read())
+    assert outs[0] == outs[1]

@@ -432,6 +432,22 @@ class BlipTokenizationEngine:
         N, n_texts = sims.shape
         k = min(self.k_test, n_texts)
         R = rows_per_block
+        if self.mesh is not None:
+            # data-parallel mesh: the scanned program's leading axis is the
+            # BLOCK axis, which lax.scan slices away per step — sharding it
+            # would replicate each step's ITM work on every chip. The
+            # per-block path shards the (R*k, L) ITM batch over 'data'
+            # (rerank_block._put), so each chip scores a slice; keep it.
+            outs = []
+            for s in range(0, N, R):
+                e = min(N, s + R)
+                rows = sims[s:e]
+                idx = list(range(s, e)) + [e - 1] * (R - (e - s))
+                feats = image_feats[np.asarray(idx, np.int32)]
+                if e - s < R:
+                    rows = np.concatenate([rows, np.repeat(rows[-1:], R - (e - s), axis=0)])
+                outs.append(self.rerank_block(rows, feats, text_ids, text_atts)[: e - s])
+            return np.concatenate(outs)
         nb = -(-N // R)
         topk_idx = np.argsort(sims, axis=1)[:, ::-1][:, :k]  # (N, k)
         # pad rows to nb*R by repeating the last row (results dropped)
@@ -521,13 +537,14 @@ def predict_videos(
     else:
         all_frames = np.concatenate(frames_list)
     n_real = len(video_ids) * num_frm
+    # image_embeds keeps its PADDED rows through the scoring (and, in
+    # blip mode, rerank) stages so tail chunks run the full chunk's
+    # compiled program shapes end-to-end; the pad rows are sliced off
+    # only at the final host-side `score[:n_real]`
     if blip_mode:
         image_feats, image_embeds = engine.embed_frames(all_frames)
-        image_embeds = image_embeds[:n_real]
-        # image_feats keeps its padded rows device-resident; the rerank
-        # below only gathers rows < n_real
     else:
-        image_embeds = engine.embed_frames(all_frames)[:n_real]
+        image_embeds = engine.embed_frames(all_frames)
 
     result = {
         vid: {"frame_tokens": [defaultdict(list) for _ in range(num_frm)], "caption": captions[vid]}
@@ -547,17 +564,18 @@ def predict_videos(
         else:
             text_embeds = text_side
 
-        sims = engine.score(image_embeds, text_embeds)  # (n_frames_total, n_texts)
+        sims = engine.score(image_embeds, text_embeds)  # (n_frames_padded, n_texts)
         if blip_mode:
             # all frames' top-k_test reranks in scanned multi-block
             # programs (one dispatch per 16 blocks of 4 rows instead of
-            # one blocking round trip per block)
+            # one blocking round trip per block); padded rows rerank too
+            # — same compiled shapes for tail chunks — and are dropped
             score = engine.rerank_all(sims, image_feats, text_ids, text_atts,
                                       rows_per_block=getattr(engine, "rerank_rows", 4))
         else:
             score = sims
 
-        score = score.reshape(len(video_ids), num_frm, -1)
+        score = score[:n_real].reshape(len(video_ids), num_frm, -1)
         for j, vid in enumerate(video_ids):
             for frm_idx in range(num_frm):
                 frm_score = score[j][frm_idx]
