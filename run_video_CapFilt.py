@@ -36,9 +36,8 @@ import numpy as np
 
 def build_engine(config, dtype=None):
     import jax
-    import jax.numpy as jnp
 
-    from vidil_tpu.config import MedConfig, ViTConfig
+    from vidil_tpu.config import MedConfig, ViTConfig, compute_dtype_from_config
     from vidil_tpu.models import convert
     from vidil_tpu.pipeline.capfilt import CapFiltEngine
     from vidil_tpu.tokenizer import BlipTokenizer
@@ -70,10 +69,7 @@ def build_engine(config, dtype=None):
     return CapFiltEngine(
         captioner, filterer, tokenizer, vit_cfg, med_cfg,
         num_beams=3, max_length=20, min_length=5,  # reference run_video_CapFilt.py:101
-        # bf16 matmuls by default (fp32 LN/softmax islands inside the
-        # models); `compute_dtype: float32` pins full-fp32 towers
-        dtype=dtype if dtype is not None else
-        {"bfloat16": jnp.bfloat16, "float32": None}[config.get("compute_dtype", "bfloat16")],
+        dtype=compute_dtype_from_config(config, dtype),
         # beams share one cross-K/V copy: ~1.9x decode throughput on TPU,
         # token-identical captions (tests/test_capfilt.py); costs a slower
         # one-time compile, so it is config-disableable

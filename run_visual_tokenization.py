@@ -42,16 +42,9 @@ def _local_mesh(config):
 
 
 def _compute_dtype(config, dtype):
-    """Tower compute dtype: bf16 by default (the CapFilt CLI's stance —
-    MXU-rate matmuls with fp32 LN/softmax islands and an fp32 HIGHEST
-    scoring matmul on top); `compute_dtype: float32` pins full-fp32
-    towers for maximum-conservatism parity runs."""
-    import jax.numpy as jnp
+    from vidil_tpu.config import compute_dtype_from_config
 
-    if dtype is not None:
-        return dtype
-    name = config.get("compute_dtype", "bfloat16")
-    return {"bfloat16": jnp.bfloat16, "float32": None}[name]
+    return compute_dtype_from_config(config, dtype)
 
 
 def build_clip_engine(config, dtype=None):

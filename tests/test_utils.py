@@ -104,3 +104,18 @@ def test_blip_base_features():
                             text_ids=ids, text_mask=mask, enc_token_id=3)
     assert mm.shape == (2, 7, 32)
     assert not np.allclose(np.asarray(mm), np.asarray(txt_feat))
+
+
+def test_compute_dtype_from_config():
+    """Shared CLI compute-dtype mapping: bf16 default, fp32 opt-out,
+    explicit override wins, unknown names fail with the accepted values."""
+    import jax.numpy as jnp
+
+    from vidil_tpu.config import compute_dtype_from_config
+
+    assert compute_dtype_from_config({}) == jnp.bfloat16
+    assert compute_dtype_from_config({"compute_dtype": "float32"}) is None
+    assert compute_dtype_from_config({"compute_dtype": "float32"},
+                                     override=jnp.bfloat16) == jnp.bfloat16
+    with pytest.raises(ValueError, match="bfloat16.*float32|float32.*bfloat16"):
+        compute_dtype_from_config({"compute_dtype": "bf16"})

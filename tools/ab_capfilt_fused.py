@@ -45,25 +45,14 @@ def main():
 
     from vidil_tpu.config import MedConfig, ViTConfig
     from vidil_tpu.pipeline.capfilt import CapFiltEngine
-    from vidil_tpu.tokenizer import BlipTokenizer
+    from vidil_tpu.tokenizer import BlipTokenizer, write_bench_vocab
     import tempfile
 
-    # RETOK-STABLE synthetic vocab: write_test_vocab puts [unusedN] at
-    # ids 1-99, which a random-weight decoder generates freely — and
-    # "[unusedN]" does not survive decode->tokenize (BasicTokenizer
-    # splits the brackets), so every chunk would fail verification and
-    # measure fused + full classic fallback (double ITM) instead of the
-    # fused fast path. Real BLIP captions are natural words (stable), so
-    # the representative bench vocab is all plain words.
-    # ... and the PROMPT words must be real vocab entries: with "a",
-    # "picture", "of" missing they encode to [UNK], decode skips them,
-    # the prompt-strip then eats 13 chars of actual caption, and every
-    # row fails verification (first stable-vocab run: fallback 64/64).
+    # RETOK-STABLE synthetic vocab (see write_bench_vocab's docstring for
+    # why the [unusedN] layout of write_test_vocab would force the fused
+    # filter into permanent fallback and poison the A/B)
     vocab_path = _os.path.join(tempfile.gettempdir(), "bench_vocab_stable2.txt")
-    base = (["[PAD]", "a", "picture", "of"] + [f"word{i}" for i in range(96)]
-            + ["[UNK]", "[CLS]", "[SEP]", "[MASK]"])
-    with open(vocab_path, "w", encoding="utf-8") as f:
-        f.write("\n".join(base + [f"tok{i}" for i in range(30418)]) + "\n")
+    write_bench_vocab(vocab_path)
     tok = BlipTokenizer(vocab_path)
     vit_cfg = ViTConfig.from_name("base", IMAGE_SIZE)
     med_cfg = MedConfig(vocab_size=tok.vocab_size)

@@ -47,21 +47,9 @@ def main():
         f"{cfg.vision_layers}L/{cfg.vision_hidden_size}d patch{cfg.patch_size}")
 
     shapes = jax.eval_shape(lambda: init_clip(jax.random.PRNGKey(0), cfg))
-    idx = [0]
+    from vidil_tpu.utils.synth import synth_tree
 
-    def fill(path, leaf):
-        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        i = idx[0]
-        idx[0] += 1
-        if name == "scale":
-            return jnp.ones(leaf.shape, leaf.dtype)
-        if name == "bias":
-            return jnp.zeros(leaf.shape, leaf.dtype)
-        n = int(np.prod(leaf.shape)) if leaf.shape else 1
-        x = jnp.sin(jnp.arange(n, dtype=jnp.float32) * 12.9898 + i) * 0.05
-        return x.reshape(leaf.shape).astype(leaf.dtype)
-
-    params = jax.jit(lambda: jax.tree_util.tree_map_with_path(fill, shapes))()
+    params = jax.jit(lambda: synth_tree(shapes))()
     jax.block_until_ready(params)
 
     @jax.jit

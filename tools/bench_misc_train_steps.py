@@ -90,7 +90,9 @@ def pretrain_tflops(B, D=768):
     P = (IMAGE_SIZE // 16) ** 2 + 1
     online = (B * (_vit_fwd() + _bert_self(LT))                  # towers
               + 3 * B * (_cross_kv(P) + _bert_cross(LT, P))      # ITM pos+2neg
-              + B * (_bert_cross(LT, P) + _lm_head(LT)))         # LM decoder
+              # LM decoder: tied-except-attention, so it projects its OWN
+              # cross K/V from the image memory each forward
+              + B * (_cross_kv(P) + _bert_cross(LT, P) + _lm_head(LT)))
     momentum = B * (_vit_fwd() + _bert_self(LT))
     return (online * 4 + momentum) / 1e12
 
@@ -101,25 +103,10 @@ def log(msg):
 
 def _synth_state(shapes):
     import jax
-    import jax.numpy as jnp
 
-    idx = [0]
+    from vidil_tpu.utils.synth import synth_tree
 
-    def fill(path, leaf):
-        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        i = idx[0]
-        idx[0] += 1
-        if not jnp.issubdtype(leaf.dtype, jnp.floating):
-            return jnp.zeros(leaf.shape, leaf.dtype)
-        if name == "scale":
-            return jnp.ones(leaf.shape, leaf.dtype)
-        if name == "bias":
-            return jnp.zeros(leaf.shape, leaf.dtype)
-        n = int(np.prod(leaf.shape)) if leaf.shape else 1
-        x = jnp.sin(jnp.arange(n, dtype=jnp.float32) * 12.9898 + i) * 0.02
-        return x.reshape(leaf.shape).astype(leaf.dtype)
-
-    state = jax.jit(lambda: jax.tree_util.tree_map_with_path(fill, shapes))()
+    state = jax.jit(lambda: synth_tree(shapes, amplitude=0.02))()
     jax.block_until_ready(state)
     return state
 

@@ -67,24 +67,9 @@ def main():
     shapes = jax.eval_shape(
         lambda: init_blip_itm(jax.random.PRNGKey(0), vit_cfg, med_cfg, embed_dim=256))
 
-    def synth(shapes):
-        idx = [0]
+    from vidil_tpu.utils.synth import synth_tree
 
-        def fill(path, leaf):
-            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-            i = idx[0]
-            idx[0] += 1
-            if name == "scale":
-                return jnp.ones(leaf.shape, leaf.dtype)
-            if name == "bias":
-                return jnp.zeros(leaf.shape, leaf.dtype)
-            n = int(np.prod(leaf.shape)) if leaf.shape else 1
-            x = jnp.sin(jnp.arange(n, dtype=jnp.float32) * 12.9898 + i) * 0.05
-            return x.reshape(leaf.shape).astype(leaf.dtype)
-
-        return jax.tree_util.tree_map_with_path(fill, shapes)
-
-    params = jax.jit(lambda: synth(shapes))()
+    params = jax.jit(lambda: synth_tree(shapes))()
     jax.block_until_ready(params)
     log(f"on-device param synth: {time.time()-t:.1f}s")
 

@@ -29,6 +29,24 @@ def dump_yaml_config(config: dict, out_dir: str, name: str = "config.yaml") -> N
         yaml.safe_dump(config, f, sort_keys=False)
 
 
+def compute_dtype_from_config(config: dict, override=None):
+    """Tower compute dtype for the pipeline CLIs: bf16 by default (MXU-rate
+    matmuls with fp32 LN/softmax islands inside the models);
+    `compute_dtype: float32` pins full-fp32 towers for
+    maximum-conservatism parity runs. `override` (a jnp dtype or None for
+    fp32) wins when given."""
+    if override is not None:
+        return override
+    import jax.numpy as jnp
+
+    name = config.get("compute_dtype", "bfloat16")
+    table = {"bfloat16": jnp.bfloat16, "float32": None}
+    if name not in table:
+        raise ValueError(
+            f"compute_dtype: {name!r} — expected one of {sorted(table)}")
+    return table[name]
+
+
 @dataclass(frozen=True)
 class ViTConfig:
     """BLIP vision transformer (reference: models/blip.py:298-326).
