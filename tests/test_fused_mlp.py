@@ -1,0 +1,70 @@
+"""Fused Pallas MLP kernel vs the XLA mlp (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vidil_tpu.models.layers import init_mlp, mlp
+from vidil_tpu.ops.fused_mlp import _mlp_ref, fused_mlp
+
+
+@pytest.mark.parametrize("rows,D,Dh,block_m", [
+    (70, 128, 512, 64),      # row padding (70 -> 128)
+    (128, 128, 512, 64),     # exact blocks
+    (33, 256, 1024, 256),    # fewer rows than one block
+])
+def test_fused_mlp_matches_xla_fp32(rows, D, Dh, block_m):
+    rng = np.random.RandomState(0)
+    params = init_mlp(jax.random.PRNGKey(0), D, Dh)
+    x = jnp.asarray(rng.randn(rows, D).astype(np.float32))
+    ref = np.asarray(mlp(params, x))
+    got = np.asarray(fused_mlp(params, x, block_m=block_m, interpret=True))
+    # fp32 path: bitwise-equal dots, fp32 gelu both sides
+    np.testing.assert_allclose(got, ref, atol=1e-6, rtol=1e-6)
+
+
+def test_fused_mlp_bf16_close_to_xla():
+    """bf16 pre-cast path: the kernel runs GELU in fp32 (XLA runs it in
+    bf16), so outputs differ by at most ~1 bf16 ulp of the activations."""
+    rng = np.random.RandomState(1)
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                          init_mlp(jax.random.PRNGKey(1), 128, 512))
+    x = jnp.asarray(rng.randn(2, 70, 128).astype(np.float32)).astype(jnp.bfloat16)
+    ref = np.asarray(mlp(params, x)).astype(np.float32)
+    got = np.asarray(fused_mlp(params, x, block_m=64, interpret=True)).astype(np.float32)
+    np.testing.assert_allclose(got, ref, atol=0.04, rtol=0.04)
+    assert got.shape == ref.shape
+
+
+def test_fused_mlp_leading_dims_flattened():
+    rng = np.random.RandomState(2)
+    params = init_mlp(jax.random.PRNGKey(2), 128, 512)
+    x = jnp.asarray(rng.randn(3, 5, 128).astype(np.float32))
+    got = fused_mlp(params, x, block_m=64, interpret=True)
+    assert got.shape == (3, 5, 128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(mlp(params, x)),
+                               atol=1e-6)
+
+
+def test_fused_mlp_vjp_reference_matches_mlp_grads():
+    """The custom_vjp backward recomputes through _mlp_ref; its grads must
+    equal autodiff of layers.mlp (same math, so the fused op is a safe
+    drop-in under jax.grad)."""
+    rng = np.random.RandomState(3)
+    params = init_mlp(jax.random.PRNGKey(3), 64, 256)
+    x = jnp.asarray(rng.randn(10, 64).astype(np.float32))
+
+    def loss_ref(p, x):
+        return jnp.sum(mlp(p, x) ** 2)
+
+    def loss_kernel_ref(p, x):
+        return jnp.sum(_mlp_ref(x, p["fc1"]["kernel"], p["fc1"]["bias"],
+                                p["fc2"]["kernel"], p["fc2"]["bias"]) ** 2)
+
+    g1 = jax.grad(loss_ref)(params, x)
+    g2 = jax.grad(loss_kernel_ref)(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
