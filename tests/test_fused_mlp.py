@@ -7,7 +7,16 @@ import jax
 import jax.numpy as jnp
 
 from vidil_tpu.models.layers import init_mlp, mlp
-from vidil_tpu.ops.fused_mlp import _mlp_ref, fused_mlp
+from vidil_tpu.ops.fused_mlp import _erf_f32, _mlp_ref, fused_mlp
+
+
+def test_kernel_erf_accuracy_vs_lax():
+    """Pallas TPU cannot lower lax.erf/erfc, so the kernel uses the
+    A&S 7.1.26 rational-exp approximation; pin its error budget (the
+    published bound is 1.5e-7 in exact arithmetic, ~6e-7 in fp32)."""
+    x = jnp.linspace(-6.0, 6.0, 200001, dtype=jnp.float32)
+    err = np.abs(np.asarray(_erf_f32(x)) - np.asarray(jax.lax.erf(x)))
+    assert err.max() < 1e-6, err.max()
 
 
 @pytest.mark.parametrize("rows,D,Dh,block_m", [
@@ -21,8 +30,9 @@ def test_fused_mlp_matches_xla_fp32(rows, D, Dh, block_m):
     x = jnp.asarray(rng.randn(rows, D).astype(np.float32))
     ref = np.asarray(mlp(params, x))
     got = np.asarray(fused_mlp(params, x, block_m=block_m, interpret=True))
-    # fp32 path: bitwise-equal dots, fp32 gelu both sides
-    np.testing.assert_allclose(got, ref, atol=1e-6, rtol=1e-6)
+    # fp32 path: bitwise-equal dots; GELU differs by the in-kernel rational
+    # erf (~5e-7 per activation, summed over Dh fc2 terms)
+    np.testing.assert_allclose(got, ref, atol=3e-5, rtol=1e-5)
 
 
 def test_fused_mlp_bf16_close_to_xla():
@@ -45,7 +55,29 @@ def test_fused_mlp_leading_dims_flattened():
     got = fused_mlp(params, x, block_m=64, interpret=True)
     assert got.shape == (3, 5, 128)
     np.testing.assert_allclose(np.asarray(got), np.asarray(mlp(params, x)),
-                               atol=1e-6)
+                               atol=3e-5)
+
+
+def test_mlp_auto_dispatch():
+    """mlp_auto: off-TPU backends always take XLA (the kernel only lowers
+    on TPU); interpret=True forces the kernel path for parity testing; the
+    row threshold keeps decode-step shapes on XLA."""
+    from vidil_tpu.models.layers import _FUSED_MLP_MIN_ROWS, mlp_auto
+
+    rng = np.random.RandomState(4)
+    params = init_mlp(jax.random.PRNGKey(4), 128, 512)
+    big = jnp.asarray(rng.randn(_FUSED_MLP_MIN_ROWS, 128).astype(np.float32))
+    # CPU backend: must not raise (XLA path) and must equal mlp exactly
+    np.testing.assert_array_equal(np.asarray(mlp_auto(params, big)),
+                                  np.asarray(mlp(params, big)))
+    # interpret: kernel path, approx-GELU difference visible but tiny
+    got = np.asarray(mlp_auto(params, big, interpret=True))
+    np.testing.assert_allclose(got, np.asarray(mlp(params, big)), atol=3e-5)
+    # bf16 dtype= pre-casting matches mlp's dtype= semantics on XLA path
+    small = big[:16]
+    np.testing.assert_array_equal(
+        np.asarray(mlp_auto(params, small, dtype=jnp.bfloat16)),
+        np.asarray(mlp(params, small, dtype=jnp.bfloat16)))
 
 
 def test_fused_mlp_vjp_reference_matches_mlp_grads():

@@ -140,6 +140,36 @@ def mlp(params, x, act=gelu, dtype=None):
     return linear(params["fc2"], h, dtype=dtype)
 
 
+# Measured on v5e (tools/ab_encode_mlp.py + small-M sweep, 768x3072 bf16):
+# XLA wins at <=768 flattened rows (0.45-0.58x), the fused kernel wins
+# 1.3-2.1x at >=2048 (79-85% MFU vs XLA's 57-59%). Decode steps (192 rows)
+# and prefills stay on XLA; encodes/ITM text towers take the kernel.
+_FUSED_MLP_MIN_ROWS = 2048
+_FUSED_MLP_MAX_WEIGHT_BYTES = 64 * 1024 * 1024  # both weights VMEM-resident
+
+
+def mlp_auto(params, x, act=gelu, dtype=None, use_fused: bool = True,
+             interpret: bool = False):
+    """mlp() with measured dispatch to the fused Pallas MLP kernel
+    (ops/fused_mlp.py — the Apex fused-MLP/fused-dense analogue, SURVEY
+    §2b). Fused only for exact-GELU MLPs with >= _FUSED_MLP_MIN_ROWS
+    flattened rows whose weights fit VMEM, on a TPU backend (the kernel
+    carries TPU CompilerParams; off-TPU always takes XLA)."""
+    rows = x.size // x.shape[-1]
+    k1 = params["fc1"]["kernel"]
+    itemsize = jnp.dtype(dtype).itemsize if dtype is not None else k1.dtype.itemsize
+    if (use_fused and act is gelu and rows >= _FUSED_MLP_MIN_ROWS
+            and 2 * k1.size * itemsize <= _FUSED_MLP_MAX_WEIGHT_BYTES
+            and (interpret or jax.default_backend() == "tpu")):
+        from vidil_tpu.ops.fused_mlp import fused_mlp
+
+        if dtype is not None:
+            params = jax.tree.map(lambda a: a.astype(dtype), params)
+            x = x.astype(dtype)
+        return fused_mlp(params, x, block_m=256, interpret=interpret)
+    return mlp(params, x, act=act, dtype=dtype)
+
+
 def init_mlp(key, dim: int, hidden_dim: int, std: float = 0.02):
     k1, k2 = jax.random.split(key)
     return {"fc1": init_linear(k1, dim, hidden_dim, std), "fc2": init_linear(k2, hidden_dim, dim, std)}

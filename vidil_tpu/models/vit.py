@@ -31,7 +31,7 @@ from vidil_tpu.models.layers import (
     layer_norm,
     linear,
     merge_heads,
-    mlp,
+    mlp_auto,
     split_heads,
     trunc_normal,
 )
@@ -104,11 +104,13 @@ def attention(params, x, num_heads: int, dtype=None, use_flash: bool = True):
     return linear(params["proj"], merge_heads(out), dtype=dtype)
 
 
-def block_forward(params, x, num_heads: int, eps: float, dtype=None, use_flash: bool = True):
+def block_forward(params, x, num_heads: int, eps: float, dtype=None, use_flash: bool = True,
+                  use_fused_mlp: bool = True):
     """Pre-LN residual block (reference: models/vit.py:107-110)."""
     x = x + attention(params["attn"], layer_norm(params["norm1"], x, eps), num_heads,
                       dtype=dtype, use_flash=use_flash)
-    x = x + mlp(params["mlp"], layer_norm(params["norm2"], x, eps), act=gelu, dtype=dtype)
+    x = x + mlp_auto(params["mlp"], layer_norm(params["norm2"], x, eps), act=gelu,
+                     dtype=dtype, use_fused=use_fused_mlp)
     return x
 
 
@@ -144,13 +146,15 @@ def vit_forward(params, images, cfg: ViTConfig, dtype=None, return_attn: bool = 
             attns.append(probs)
             out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
             x = x + linear(blk["attn"]["proj"], merge_heads(out), dtype=dtype)
-            x = x + mlp(blk["mlp"], layer_norm(blk["norm2"], x, cfg.layer_norm_eps), dtype=dtype)
+            x = x + mlp_auto(blk["mlp"], layer_norm(blk["norm2"], x, cfg.layer_norm_eps),
+                             dtype=dtype, use_fused=cfg.use_fused_mlp)
         x = layer_norm(params["norm"], x, cfg.layer_norm_eps)
         return x, attns
 
     from functools import partial
 
-    block_fn = partial(block_forward, use_flash=cfg.use_flash)
+    block_fn = partial(block_forward, use_flash=cfg.use_flash,
+                       use_fused_mlp=cfg.use_fused_mlp)
 
     def body(carry, layer_params):
         fn = block_fn

@@ -8,9 +8,10 @@ XLA materializes the (M, 4D) intermediate in HBM between the two GEMMs
 matrices VMEM-resident and streams row blocks of x through
 fc1 -> GELU -> fc2 in one pass, so HBM sees x once in and out once.
 
-Numerics: fp32 MXU accumulation for both GEMMs and fp32 GELU (slightly
-tighter than the XLA path, which runs GELU in bf16 when dtype=bf16);
-output cast to the input dtype. Differentiable via custom_vjp with an
+Numerics: fp32 MXU accumulation for both GEMMs and fp32 GELU; the erf
+inside GELU is the A&S 7.1.26 rational-exp approximation (lax.erf/erfc
+have no Pallas TPU lowering), max error ~6e-7 in fp32 — invisible after
+the output cast to the input dtype (bf16 on the hot paths). Differentiable via custom_vjp with an
 XLA-recompute backward (same formulas as vidil_tpu/models/layers.py mlp,
 reference models/vit.py:23-41) — the kernel is forward-only.
 
@@ -34,10 +35,32 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# fp32 erf via Abramowitz & Stegun 7.1.26 (max abs error 1.5e-7; uses only
+# mul/exp, both Pallas-TPU-lowerable — lax.erf/erfc are not). The error
+# vanishes under the kernel's bf16 output cast (bf16 eps ~ 8e-3); accuracy
+# vs lax.erf is pinned in tests/test_fused_mlp.py.
+_AS_P = 0.3275911
+_AS_A = (1.061405429, -1.453152027, 1.421413741, -0.284496736, 0.254829592)
+
+
+def _erf_f32(x):
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + _AS_P * a)
+    poly = ((((_AS_A[0] * t + _AS_A[1]) * t + _AS_A[2]) * t
+             + _AS_A[3]) * t + _AS_A[4]) * t
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu_exact_f32(h):
+    """Exact (erf-based) GELU in fp32, kernel-lowerable."""
+    return 0.5 * h * (1.0 + _erf_f32(h * 0.7071067811865476))
+
+
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     h = jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
     h = h + b1_ref[:].astype(jnp.float32)
-    a = jax.nn.gelu(h, approximate=False).astype(x_ref.dtype)
+    a = _gelu_exact_f32(h).astype(x_ref.dtype)
     o = jnp.dot(a, w2_ref[:], preferred_element_type=jnp.float32)
     o_ref[:] = (o + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 

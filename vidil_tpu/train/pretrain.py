@@ -58,6 +58,16 @@ def make_pretrain_step(vit_cfg: ViTConfig, med_cfg: MedConfig, optimizer,
         import dataclasses
 
         vit_cfg = dataclasses.replace(vit_cfg, use_flash=False)
+    # same for the fused MLP kernel: its VJP recomputes through XLA, which
+    # under remat duplicates the recompute remat already performs
+    if vit_cfg.use_fused_mlp:
+        import dataclasses
+
+        vit_cfg = dataclasses.replace(vit_cfg, use_fused_mlp=False)
+    if med_cfg.use_fused_mlp:
+        import dataclasses
+
+        med_cfg = dataclasses.replace(med_cfg, use_fused_mlp=False)
     def train_step(state: PretrainState, batch, alpha, rng):
         def loss_fn(params):
             ita, itm, lm, aux = pretrain_loss(

@@ -44,6 +44,16 @@ def make_vqa_train_step(vit_cfg: ViTConfig, med_cfg: MedConfig, optimizer, dtype
         import dataclasses
 
         vit_cfg = dataclasses.replace(vit_cfg, use_flash=False)
+    # same for the fused MLP kernel: its VJP recomputes through XLA, which
+    # under remat duplicates the recompute remat already performs
+    if vit_cfg.use_fused_mlp:
+        import dataclasses
+
+        vit_cfg = dataclasses.replace(vit_cfg, use_fused_mlp=False)
+    if med_cfg.use_fused_mlp:
+        import dataclasses
+
+        med_cfg = dataclasses.replace(med_cfg, use_fused_mlp=False)
     def train_step(state: VQATrainState, batch):
         B_ = batch["video"].shape[0]
 
