@@ -14,6 +14,14 @@ see tools/bench_attention.py).
 
 Run on the real chip: python tools/ab_encode_mlp.py
 Artifacts: benchmarks/encode_mlp_ab.jsonl (one line per variant).
+
+OUTCOME (v5e, 2026-08-17): the kernel wins 1.34-1.48x ISOLATED (79-85%
+MFU vs XLA's 57-59%) but is a WASH IN SITU — the full ViT-B/384 encode
+and the grouped-ITM program measure within ±1.4% with the kernel wired
+in (the in_situ phase below reproduces this). XLA hides the (M, 4D)
+round-trip behind adjacent program work, and an opaque Pallas call
+removes that scheduling freedom; so `use_fused_mlp` defaults to False
+and the kernel stays available as a measured option.
 """
 
 from __future__ import annotations
@@ -131,6 +139,77 @@ def main():
                 tflops / (best[1] / 1e3) / V5E_PEAK_BF16_TFLOPS, 3)
             row["speedup"] = round(xla_ms / best[1], 3)
         emit("encode_mlp_ab", row)
+
+    in_situ(dev)
+
+
+def _median_readback_ms(fn, args, reps=7):
+    float(fn(*args))  # compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts) * 1e3)
+
+
+def in_situ(dev):
+    """The decision measurement: the same MLP inside the two real
+    programs (full ViT-B/384 encode; grouped-ITM filter), fused on/off.
+    Isolated wins that vanish here do not justify the dispatch."""
+    import jax.numpy as jnp
+
+    from vidil_tpu.config import MedConfig, ViTConfig
+    from vidil_tpu.models import blip as Bm
+    from vidil_tpu.models import vit as V
+
+    F, Vv, Fr, T, L, P, D = 256, 64, 4, 5, 35, 577, 768
+    row = {"phase": "in_situ", "device": dev}
+    for fused in (False, True):
+        key = "fused" if fused else "xla"
+        vit_cfg = ViTConfig.from_name("base", image_size=384,
+                                      use_fused_mlp=fused)
+        shapes = jax.eval_shape(lambda: V.init_vit(jax.random.PRNGKey(0), vit_cfg))
+        params = jax.jit(lambda s=shapes: synth_tree(s))()
+        imgs = jax.jit(lambda: (jnp.sin(
+            jnp.arange(F * 384 * 384 * 3, dtype=jnp.float32) * 1e-3)
+            .reshape(F, 384, 384, 3) * 0.5))()
+        jax.block_until_ready((params, imgs))
+        enc = jax.jit(lambda p, x, c=vit_cfg: jnp.sum(
+            V.vit_forward(p, x, c, dtype=jnp.bfloat16).astype(jnp.float32)))
+        ms = _median_readback_ms(enc, (params, imgs))
+        row[f"encode256_{key}_ms"] = round(ms, 1)
+        log(f"in-situ encode (256 frm) {key}: {ms:.1f} ms")
+
+        med_cfg = MedConfig(use_fused_mlp=fused)
+        ishapes = jax.eval_shape(lambda: Bm.init_blip_itm(
+            jax.random.PRNGKey(0), vit_cfg, med_cfg))
+        iparams = jax.jit(lambda s=ishapes: synth_tree(s))()
+        emb = jax.jit(lambda: (jnp.sin(
+            jnp.arange(Vv * Fr * P * D, dtype=jnp.float32) * 1e-4)
+            .reshape(Vv, Fr, P, D) * 0.3).astype(jnp.bfloat16))()
+        rng = np.random.RandomState(0)
+        ids = jnp.asarray(rng.randint(4, 30000, size=(Vv, T, L)).astype(np.int32))
+        mask = jnp.ones((Vv, T, L), jnp.int32)
+        jax.block_until_ready((iparams, emb))
+
+        @jax.jit
+        def itm(p, fe, ti, tm, c=med_cfg):
+            img = fe.reshape((Vv * Fr,) + fe.shape[2:])
+            idsb = jnp.broadcast_to(ti[:, None], (Vv, Fr, T, L)).reshape(-1, L)
+            maskb = jnp.broadcast_to(tm[:, None], (Vv, Fr, T, L)).reshape(-1, L)
+            logits = Bm.blip_itm_scores(p, img, idsb, maskb, c,
+                                        dtype=jnp.bfloat16, group_size=T)
+            return jnp.sum(jax.nn.softmax(logits, axis=1)[:, 1])
+
+        ms = _median_readback_ms(itm, (iparams, emb, ids, mask))
+        row[f"grouped_itm_{key}_ms"] = round(ms, 1)
+        log(f"in-situ grouped ITM {key}: {ms:.1f} ms")
+    row["encode_in_situ_speedup"] = round(
+        row["encode256_xla_ms"] / row["encode256_fused_ms"], 3)
+    row["itm_in_situ_speedup"] = round(
+        row["grouped_itm_xla_ms"] / row["grouped_itm_fused_ms"], 3)
+    emit("encode_mlp_ab", row)
 
 
 if __name__ == "__main__":

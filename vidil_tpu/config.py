@@ -66,9 +66,10 @@ class ViTConfig:
     remat_from_layer: int = 0
     use_flash: bool = True  # Pallas flash kernel where measured faster (384px encode);
     # dispatch is shape-aware — small shapes stay on XLA (ops/flash_attention.py)
-    use_fused_mlp: bool = True  # Pallas fused MLP (fc1->GELU->fc2) where measured
-    # faster (>=2048 rows: 1.34-1.48x on the 384px encode shapes); shape-aware
-    # dispatch in layers.mlp_auto, small shapes stay on XLA (tools/ab_encode_mlp.py)
+    use_fused_mlp: bool = False  # Pallas fused MLP (ops/fused_mlp.py): 1.34x
+    # ISOLATED at encode shapes but a wash IN SITU (full encode ±1%,
+    # tools/ab_encode_mlp.py in_situ phase) — XLA hides the (M,4D) HBM
+    # round-trip behind adjacent work; kept available, off by default
 
     @property
     def num_patches(self) -> int:
@@ -106,8 +107,9 @@ class MedConfig:
     label_smoothing: float = 0.1
     remat: bool = False  # jax.checkpoint on the scanned layer body
     # (training-time memory/compute trade; train steps enable it)
-    use_fused_mlp: bool = True  # Pallas fused MLP for >=2048-row text towers
-    # (ITM text side measured 1.48x); decode steps stay on XLA by shape
+    use_fused_mlp: bool = False  # Pallas fused MLP: 1.48x ISOLATED on the ITM
+    # text shape but a wash in the real grouped-ITM program (±1.4%,
+    # tools/ab_encode_mlp.py in_situ phase); kept available, off by default
 
     @classmethod
     def from_json(cls, path: str, **overrides) -> "MedConfig":
