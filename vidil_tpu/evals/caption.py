@@ -49,7 +49,9 @@ def video_caption_eval(gt_jsonl, results_file, output_path: str | None = None) -
         # loud in CLI output AND explicit (null) in written result files.
         print("WARNING: METEOR unavailable (pycocoevalcap/Java not installed); "
               "reported as null. Bleu/ROUGE_L/CIDEr use the golden-pinned "
-              "pure-Python scorers.")
+              "pure-Python scorers; METEOR_approx is an exact+stem "
+              "approximation (no WordNet stages), not comparable to jar "
+              "METEOR.")
     print(eval_dict)
     if output_path:
         with open(output_path, "w") as out:

@@ -165,6 +165,104 @@ def cider(gts: dict, res: dict, n_max: int = 4, sigma: float = 6.0) -> float:
 
 
 # ---------------------------------------------------------------------------
+# METEOR (approximate: exact + stem matching only)
+# ---------------------------------------------------------------------------
+
+_STEMMER = None
+
+
+def _porter_stem(word: str) -> str:
+    """Porter-stem via nltk (pure Python, no data files); identity fallback."""
+    global _STEMMER
+    if _STEMMER is None:
+        try:
+            from nltk.stem.porter import PorterStemmer
+
+            _STEMMER = PorterStemmer()
+        except Exception:  # pragma: no cover - nltk is baked into this env
+            class _Identity:
+                def stem(self, w):
+                    return w
+
+            _STEMMER = _Identity()
+    return _STEMMER.stem(word)
+
+
+def _meteor_align(hyp: list[str], ref: list[str]):
+    """Greedy two-stage word alignment: exact first, then Porter-stem.
+
+    Greedy discipline (pinned by the nltk oracle in tests): hypothesis
+    words are taken LAST-to-first, each matched to the LATEST still-unused
+    reference word with the same key, each word used at most once — so a
+    repeated hypothesis word pairs with the nearest-from-the-end duplicate
+    and contiguous tails stay in one chunk. nltk's ``meteor_score`` with a
+    synsets-free wordnet stub runs the same staging and is the independent
+    oracle. The synonym stage of real METEOR is omitted (WordNet data
+    unavailable offline). Returns (hyp_idx, ref_idx) sorted by hyp index.
+    """
+    hyp_left = list(enumerate(hyp))
+    ref_left = list(enumerate(ref))
+    matches = []
+    for keyfn in (lambda w: w, _porter_stem):
+        next_hyp, next_ref = [], list(ref_left)
+        for hi, hw in reversed(hyp_left):
+            hk = keyfn(hw)
+            for rj in range(len(next_ref) - 1, -1, -1):
+                if keyfn(next_ref[rj][1]) == hk:
+                    matches.append((hi, next_ref[rj][0]))
+                    del next_ref[rj]
+                    break
+            else:
+                next_hyp.append((hi, hw))
+        hyp_left, ref_left = next_hyp[::-1], next_ref
+    return sorted(matches)
+
+
+def _meteor_sentence(hyp: list[str], ref: list[str],
+                     alpha: float = 0.9, beta: float = 3.0,
+                     gamma: float = 0.5) -> float:
+    """Single-sentence METEOR with exact+stem matching.
+
+    Classic METEOR scoring (Banerjee & Lavie 2005): unigram F-mean
+    weighted toward recall (alpha) discounted by a fragmentation penalty
+    gamma*(chunks/matches)^beta. Parameters are the METEOR-1.0 defaults
+    (alpha=.9, beta=3, gamma=.5) — NOT the meteor-1.5 jar's tuned
+    parameters — so values are not comparable to pycocoevalcap METEOR.
+    """
+    matches = _meteor_align(hyp, ref)
+    m = len(matches)
+    if m == 0:
+        return 0.0
+    precision = m / len(hyp)
+    recall = m / len(ref)
+    fmean = precision * recall / (alpha * precision + (1 - alpha) * recall)
+    chunks = 1
+    for (h0, r0), (h1, r1) in zip(matches, matches[1:]):
+        if h1 != h0 + 1 or r1 != r0 + 1:
+            chunks += 1
+    penalty = gamma * (chunks / m) ** beta
+    return fmean * (1.0 - penalty)
+
+
+def meteor_approx(gts: dict, res: dict) -> float:
+    """Corpus METEOR approximation: per-key best reference, mean over keys.
+
+    Approximate on three axes, hence reported under the distinct key
+    ``METEOR_approx`` (never as the reference's ``METEOR``): (1) exact +
+    Porter-stem matching only — no WordNet synonym / paraphrase stages
+    (their data is unavailable offline); (2) METEOR-1.0 parameters, not
+    the meteor-1.5 jar's; (3) corpus score is the mean of segment scores
+    rather than the jar's aggregated-statistics score. The reference's
+    exact METEOR comes from pycocoevalcap's Java jar (data/utils.py:208).
+    """
+    scores = [
+        max(_meteor_sentence(res[key][0], r) for r in gts[key])
+        for key in res
+    ]
+    return sum(scores) / max(len(scores), 1)
+
+
+# ---------------------------------------------------------------------------
 # top-level scorer
 # ---------------------------------------------------------------------------
 
@@ -201,8 +299,10 @@ def compute_caption_scores(gts_raw: dict, res_raw: dict) -> dict:
         # METEOR needs pycocoevalcap's Java jar (WordNet synonym/paraphrase
         # matching); reporting an approximation under the reference's metric
         # name would mislead, so its absence is explicit (reference reports
-        # Bleu/METEOR/ROUGE_L/CIDEr, data/utils.py:205-216)
+        # Bleu/METEOR/ROUGE_L/CIDEr, data/utils.py:205-216). An exact+stem
+        # approximation is reported alongside under a distinct key.
         out["METEOR"] = None
+        out["METEOR_approx"] = meteor_approx(gts, res)
         out["ROUGE_L"] = rouge_l(gts, res)
         out["CIDEr"] = cider(gts, res)
         return out
