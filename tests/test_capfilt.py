@@ -197,6 +197,23 @@ def test_engine_beam_group_kv_identical(engine, tokenizer, synthetic_video):
     assert grouped.caption_frames(frames) == engine.caption_frames(frames)
 
 
+def test_engine_cross_kv_int8_runs(engine, tokenizer, synthetic_video):
+    """cross_kv_int8=True (per-row int8 cross-K/V, opt-in HBM optimization)
+    must produce well-formed captions; token-level behavior is pinned in
+    test_cross_kv_int8.py, measured parity in tools/ab_decode_int8.py."""
+    from vidil_tpu.data.sampling import load_video_frames
+
+    cap = init_blip_decoder(jax.random.PRNGKey(0), VIT, MED)
+    fil = init_blip_itm(jax.random.PRNGKey(1), VIT, MED)
+    q8 = CapFiltEngine(cap, fil, tokenizer, VIT, MED,
+                       num_beams=3, max_length=16, min_length=5,
+                       dtype=None, beam_group_kv=True, cross_kv_int8=True)
+    frames = preprocess_frames_pil(load_video_frames(synthetic_video, "uniform", 4), 32)
+    caps = q8.caption_frames(frames)
+    base = engine.caption_frames(frames)
+    assert len(caps) == len(base) and all(isinstance(c, str) for c in caps)
+
+
 def test_engine_mesh_sharded_matches_single(engine, tokenizer, synthetic_video):
     """CapFiltEngine(mesh=...) shards batches over the 'data' axis of a
     device mesh; results must be identical to the meshless engine."""

@@ -99,17 +99,17 @@ def blip_caption_loss(
 # ---------------------------------------------------------------------------
 
 def make_decoder_closures(params, cross_k, cross_v, cross_bias, med_cfg: MedConfig, dtype=None,
-                          beam_size: int = 1):
+                          beam_size: int = 1, int8_dot: bool = False):
     dec = params["text_decoder"]
 
     def prefill_fn(ids, cache):
         h, cache = M.med_decode_prefill(dec, ids, cache, cross_k, cross_v, cross_bias, med_cfg,
-                                        dtype=dtype, beam_size=beam_size)
+                                        dtype=dtype, beam_size=beam_size, int8_dot=int8_dot)
         return M.med_lm_logits(dec, h[:, -1], med_cfg, dtype=dtype).astype(jnp.float32), cache
 
     def step_fn(tokens, idx, cache):
         return M.med_decode_step(dec, tokens, idx, cache, cross_k, cross_v, cross_bias, med_cfg,
-                                 dtype=dtype, beam_size=beam_size)
+                                 dtype=dtype, beam_size=beam_size, int8_dot=int8_dot)
 
     def reorder_fn(cache, idx):
         return jax.tree.map(lambda x: x[:, idx], cache)
@@ -120,7 +120,7 @@ def make_decoder_closures(params, cross_k, cross_v, cross_bias, med_cfg: MedConf
 def blip_generate_ids(
     params, image_embeds, prompt_ids, med_cfg: MedConfig, gen: GenerationConfig,
     sample: bool = False, rng_key=None, dtype=None, cache_dtype=None,
-    beam_group_kv: bool = False,
+    beam_group_kv: bool = False, cross_kv_int8: bool | str = False,
 ):
     """Generate token ids from encoded images/video.
 
@@ -139,11 +139,18 @@ def blip_generate_ids(
     batch = B * expand
     kv_src = image_embeds if beam_group_kv or sample else jnp.repeat(image_embeds, expand, axis=0)
     cross_k, cross_v = M.precompute_cross_kv(params["text_decoder"], kv_src, med_cfg, dtype=dtype)
+    if cross_kv_int8:
+        # halve the decode loop's dominant HBM read (the per-step re-read of
+        # the full cross-K/V); parity-affecting opt-in — see quantize_cross_kv.
+        # 'dot' additionally quantizes q/probs per row so the attention dots
+        # run int8 x int8 on the MXU (no materialized bf16 dequant copy).
+        cross_k, cross_v = M.quantize_cross_kv(cross_k, cross_v)
     cross_bias = M.invert_attention_mask(jnp.ones(kv_src.shape[:2], jnp.int32))
     cache = M.init_self_cache(med_cfg, batch, gen.max_length,
                               dtype=cache_dtype or dtype or jnp.float32)
     prefill_fn, step_fn, reorder_fn = make_decoder_closures(
-        params, cross_k, cross_v, cross_bias, med_cfg, dtype=dtype, beam_size=beam_size
+        params, cross_k, cross_v, cross_bias, med_cfg, dtype=dtype, beam_size=beam_size,
+        int8_dot=(cross_kv_int8 == "dot"),
     )
     if sample:
         assert rng_key is not None

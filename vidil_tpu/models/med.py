@@ -229,7 +229,8 @@ def _attn_block(p, x, kv_states, bias, num_heads: int, eps: float, dtype=None,
 
 
 def _attn_block_precomputed_kv(p, x, k, v, bias, num_heads: int, eps: float,
-                               dtype=None, beam_size: int = 1):
+                               dtype=None, beam_size: int = 1,
+                               int8_dot: bool = False):
     """Cross-attention with precomputed K/V.
 
     beam_size > 1: x has batch B*beam_size but k/v have batch B — all beams
@@ -237,8 +238,16 @@ def _attn_block_precomputed_kv(p, x, k, v, bias, num_heads: int, eps: float,
     sequence axis instead of replicating the (large) K/V tensors per beam.
     Cuts cross-attention HBM traffic by beam_size (the dominant decode cost
     for the N*(P+1)-token video memory).
+
+    k/v may be per-row int8 dicts from ``quantize_cross_kv`` — the decode
+    loop is HBM-bound on re-reading this memory every step, so halving its
+    bytes halves the dominant read. Per-row symmetric scales factor out of
+    BOTH matmuls exactly: logits_k = (q · K8_k) * s_k and
+    ctx = Σ_k (p_k s_k) · V8_k, so the only approximation is the int8
+    rounding of the K/V entries themselves.
     """
     q = split_heads(linear(p["query"], x, dtype=dtype), num_heads)  # (B*nb, H, L, Dh)
+    k_quant = isinstance(k, dict)
     if beam_size > 1:
         Bn, H, L, Dh = q.shape
         B = Bn // beam_size
@@ -246,13 +255,51 @@ def _attn_block_precomputed_kv(p, x, k, v, bias, num_heads: int, eps: float,
         # dim of the batched attention einsums
         q5 = q.reshape(B, beam_size, H, L, Dh)
         scale = 1.0 / math.sqrt(Dh)
-        logits = jnp.einsum("bnhqd,bhkd->bnhqk", q5, k, preferred_element_type=jnp.float32) * scale
+        if k_quant and int8_dot:
+            # native int8 x int8 MXU dots: quantize q (and scale-folded
+            # probs below) per row so BOTH operands are int8 and the K/V
+            # HBM reads stay 1 byte/entry — the astype-to-bf16 variant
+            # measured SLOWER because XLA materializes the converted copy
+            # (benchmarks/decode_int8_ab.jsonl)
+            qs = jnp.maximum(jnp.max(jnp.abs(q5), axis=-1, keepdims=True)
+                             .astype(jnp.float32), 1e-12) / 127.0
+            q8 = jnp.clip(jnp.round(q5.astype(jnp.float32) / qs),
+                          -127, 127).astype(jnp.int8)
+            logits = jnp.einsum("bnhqd,bhkd->bnhqk", q8, k["q8"],
+                                preferred_element_type=jnp.int32)
+            logits = logits.astype(jnp.float32) * (qs * scale) \
+                * k["scale"][:, None, :, None, :, 0]
+        else:
+            k_mat = k["q8"].astype(q.dtype) if k_quant else k
+            logits = jnp.einsum("bnhqd,bhkd->bnhqk", q5, k_mat,
+                                preferred_element_type=jnp.float32) * scale
+            if k_quant:
+                # s_k broadcast over (beams, heads-q rows): (B, H, Lk) -> k
+                logits = logits * k["scale"][:, None, :, None, :, 0]
         if bias is not None:
             logits = logits + bias[:, None].astype(jnp.float32)
         probs = jax.nn.softmax(logits, axis=-1)
-        ctx = jnp.einsum("bnhqk,bhkd->bnhqd", probs.astype(v.dtype), v)
+        if k_quant and int8_dot:
+            # fold the per-row V scales into probs BEFORE quantizing so the
+            # int8 dot's row sums carry them exactly: ctx = (p8 . V8) * sp
+            pv = probs * v["scale"][:, None, :, None, :, 0]
+            ps = jnp.maximum(jnp.max(pv, axis=-1, keepdims=True), 1e-20) / 127.0
+            p8 = jnp.clip(jnp.round(pv / ps), -127, 127).astype(jnp.int8)
+            ctx = jnp.einsum("bnhqk,bhkd->bnhqd", p8, v["q8"],
+                             preferred_element_type=jnp.int32)
+            ctx = (ctx.astype(jnp.float32) * ps).astype(q.dtype)
+        elif k_quant:
+            v_mat = v["q8"].astype(q.dtype)
+            probs = probs * v["scale"][:, None, :, None, :, 0]
+            ctx = jnp.einsum("bnhqk,bhkd->bnhqd", probs.astype(v_mat.dtype), v_mat)
+        else:
+            ctx = jnp.einsum("bnhqk,bhkd->bnhqd", probs.astype(v.dtype), v)
         ctx = merge_heads(ctx.reshape(Bn, H, L, Dh))
     else:
+        if k_quant:
+            # dequant fuses into the dot operands; HBM still reads int8
+            k = (k["q8"].astype(q.dtype) * k["scale"].astype(q.dtype))
+            v = (v["q8"].astype(q.dtype) * v["scale"].astype(q.dtype))
         ctx = merge_heads(dot_product_attention(q, k, v, bias=bias))
     out = linear(p["out"], ctx, dtype=dtype)
     return layer_norm(p["norm"], out + x, eps)
@@ -393,6 +440,29 @@ def precompute_cross_kv(params, encoder_hidden_states, cfg: MedConfig, dtype=Non
     return ks, vs
 
 
+def quantize_cross_kv(k, v):
+    """Per-row symmetric int8 quantization of precomputed cross-K/V.
+
+    Each (..., Dh) row gets one absmax/127 float32 scale, so the quantized
+    pair {q8, scale} is an exact drop-in for the bf16 tensors in
+    ``_attn_block_precomputed_kv`` (scales factor out of both attention
+    matmuls). Rationale: the beam decode re-reads the full cross-K/V every
+    step (2 x layers x B x Lk x D bytes — the measured HBM floor of the
+    decode program); int8 halves that traffic at ~0.4% per-row relative
+    rounding error. Opt-in via cross_kv_int8 (parity-affecting: logits
+    perturbations can flip beam ties; agreement measured in
+    tools/ab_decode_int8.py and tests).
+    """
+
+    def q(x):
+        s = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32) / 127.0
+        s = jnp.maximum(s, 1e-12)
+        q8 = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+        return {"q8": q8, "scale": s}
+
+    return q(k), q(v)
+
+
 def init_self_cache(cfg: MedConfig, batch: int, max_len: int, dtype=jnp.float32):
     """Fixed-shape self-attention KV cache, heads folded into the feature
     axis: (layers, batch, max_len, H*Dh).
@@ -416,7 +486,7 @@ def _fold_heads(x):
 
 def med_decode_prefill(
     params, input_ids, cache, cross_k, cross_v, cross_bias, cfg: MedConfig, dtype=None,
-    beam_size: int = 1,
+    beam_size: int = 1, int8_dot: bool = False,
 ):
     """Run the prompt through the decoder, filling cache[:, :, :Lp, :].
 
@@ -440,7 +510,7 @@ def med_decode_prefill(
         if cross_k is not None:
             x = _attn_block_precomputed_kv(
                 layer["cross_attn"], x, ck, cv, cross_bias, cfg.num_heads,
-                cfg.layer_norm_eps, dtype, beam_size=beam_size,
+                cfg.layer_norm_eps, dtype, beam_size=beam_size, int8_dot=int8_dot,
             )
         x = _ffn_block(layer, x, cfg, dtype=dtype)
         return x, (k, v)
@@ -459,7 +529,7 @@ def med_decode_prefill(
 
 def med_decode_step(
     params, token_ids, step_index, cache, cross_k, cross_v, cross_bias, cfg: MedConfig, dtype=None,
-    beam_size: int = 1,
+    beam_size: int = 1, int8_dot: bool = False,
 ):
     """Decode one token for the whole batch.
 
@@ -506,7 +576,7 @@ def med_decode_step(
         if cross_k is not None:
             x = _attn_block_precomputed_kv(
                 layer["cross_attn"], x, ck, cv, cross_bias, cfg.num_heads,
-                cfg.layer_norm_eps, dtype, beam_size=beam_size,
+                cfg.layer_norm_eps, dtype, beam_size=beam_size, int8_dot=int8_dot,
             )
         x = _ffn_block(layer, x, cfg, dtype=dtype)
         return x, (k_cache, v_cache)

@@ -137,6 +137,7 @@ class CapFiltEngine:
         dtype=jnp.bfloat16,
         length_norm: str = "legacy",
         beam_group_kv: bool = False,
+        cross_kv_int8: bool | str = False,  # False | True (int8 store) | 'dot' (int8 MXU dots)
         early_exit: bool = True,
         early_readback: bool = True,
         fused_filter: bool = True,
@@ -206,6 +207,7 @@ class CapFiltEngine:
                 params, embeds, prompt_b, med_cfg, gen,
                 sample=sample, rng_key=rng, dtype=dtype,
                 beam_group_kv=beam_group_kv and not sample,
+                cross_kv_int8=cross_kv_int8,
             )
 
         @jax.jit
@@ -297,6 +299,10 @@ class CapFiltEngine:
             return _itm_grouped_core(params, frame_embeds, ids, tmask)
 
         self._caption = _caption
+        # split handles for measurement tools (tools/ab_decode_int8.py):
+        # encode once, time the beam decode alone
+        self.encode_captioner = lambda frames: _encode(self.captioner_params, frames)
+        self.generate_beam = lambda embeds, rng: _generate(self.captioner_params, embeds, rng)
         self._encode_filter_frames = lambda frames, num_frm: _encode_filter(
             self.filterer_params, frames, num_frm)
         self._itm_pairs = lambda *a: _itm_pairs_fn(self.filterer_params, *a)
