@@ -115,6 +115,37 @@ def test_blip_rerank_scores_structure(workdir):
     assert (row == -100.0).sum() == 2  # k_test=2 -> 2 scored, 2 at -100
 
 
+def test_trimmed_padding_bitwise_equal(workdir):
+    """embed_texts trims the reference's fixed max_length=35 padding to the
+    batch's true (rounded) max token count — masked pad positions underflow
+    exp() to exactly 0.0, so text embeds AND ITM rerank scores must be
+    BITWISE identical to the untrimmed 35-pad contract."""
+    import run_visual_tokenization as cli
+
+    engine = cli.build_blip_engine(dict(workdir.config))
+    texts = ["A photo of dog", "A photo of cat running", "A photo of beach"]
+    text_embeds, text_ids, text_atts = engine.embed_texts(texts)
+    assert text_ids.shape[1] < 35  # the trim actually engaged
+
+    # untrimmed 35-pad arrays: embeds use the raw [CLS] ids (as embed_texts
+    # does), the rerank ids get the [ENC] substitution
+    enc = engine.tok(texts, padding="max_length", truncation=True, max_length=35)
+    raw35 = np.asarray(enc.input_ids)
+    atts35 = np.asarray(enc.attention_mask)
+    emb35 = np.asarray(engine._embed_texts(raw35, atts35))
+    np.testing.assert_array_equal(text_embeds, emb35)
+    ids35 = raw35.copy()
+    ids35[:, 0] = engine.tok.enc_token_id
+
+    frames = np.random.RandomState(3).randint(
+        0, 256, (2, IMAGE_SIZE, IMAGE_SIZE, 3)).astype(np.uint8)
+    feats, embeds = engine.embed_frames(frames)
+    sims = engine.score(embeds, text_embeds)
+    trimmed = engine.rerank_block(sims, feats, text_ids, text_atts)
+    full = engine.rerank_block(sims, feats, ids35, atts35)
+    np.testing.assert_array_equal(trimmed, full)
+
+
 def test_rerank_all_matches_blocked_rerank(workdir):
     """rerank_all (scanned multi-block programs, bounded dispatches) must
     produce exactly the per-block rerank_block results row for row —
