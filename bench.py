@@ -212,7 +212,9 @@ def main():
     itm_rows = _round_up(max(n_texts, default=0), 4)
     fl = analytic_tflops(
         F_TOTAL, VIDEOS_PER_BATCH, NUM_FRM,
-        itm_rows_per_video=itm_rows, itm_text_len=engine.itm_max_text_len,
+        # the fused filter runs its ITM rows at the TRIMMED text length
+        # (bitwise-equal probs; capfilt.py itm_text_len_fused)
+        itm_rows_per_video=itm_rows, itm_text_len=engine.itm_text_len_fused,
         image_size=IMAGE_SIZE, vocab=tok.vocab_size,
         dec_steps=20 - engine.prompt_length)
 
@@ -321,7 +323,8 @@ def main():
         "variance_note": "end_to_end_fps is bounded by the dev tunnel's host->device rate "
                          "(~5-45 MB/s by time of day; 44-151 f/s observed); value is the "
                          "upload-excluded chip throughput (98-135 f/s sequential-schedule "
-                         "rounds 2-3; 155-161 with the fused in-flight schedule; swings "
+                         "rounds 2-3; 155-168 with the fused in-flight schedule "
+                         "(166-168 after the ITM text-length trim); swings "
                          "with chip/tunnel state by day, stable within a session)",
         "baseline_note": f"reference publishes no throughput; baseline = estimated A100 "
                          f"per-video-loop rate {BASELINE_FRAMES_PER_SEC_A100_ESTIMATE} frames/s",

@@ -227,3 +227,42 @@ def test_fused_fallback_on_retok_mismatch(engine, frames, monkeypatch, poison):
     assert engine.fused_fallback_videos - before == len(poison)
     assert [(r.video_id, r.unfiltered_text, r.text) for r in classic] == \
            [(r.video_id, r.unfiltered_text, r.text) for r in fused]
+
+
+def test_fused_text_len_trim_bound(engine, tokenizer):
+    """The fused ITM text length trims from itm_max_text_len=35 to
+    roundup(max_length - prompt_len + 2, 8) — generated captions cannot
+    overflow it, and the parity tests above all run through the trimmed
+    program (max_length=16, prompt 4 ids -> bound 16 < 35)."""
+    assert engine.itm_text_len_fused == 16 < engine.itm_max_text_len
+    # a full-length generated row still fits: caption tokens <= 12 -> 14 used
+    Lcap_max = 16 - len(engine.prompt_ids)
+    assert Lcap_max + 2 <= engine.itm_text_len_fused
+
+
+def test_fused_fallback_on_retok_expansion(engine, frames, monkeypatch):
+    """A caption whose host re-tokenization EXPANDS past the fused bound
+    (non-pad tokens beyond itm_text_len_fused in the 35-pad encoding) must
+    fail verification and re-score through the classic 35-pad path."""
+    long_ids = engine.tok(["dog " * 30], padding="max_length", truncation=True,
+                          max_length=engine.itm_max_text_len)
+    assert (np.asarray(long_ids.input_ids)[0][engine.itm_text_len_fused:]
+            != engine.tok.pad_token_id).any()
+
+    orig_tok = engine.tok.__call__
+
+    def expanding_tok(texts, **kw):
+        # make every caption re-tokenize to an over-bound row
+        return orig_tok(["dog " * 30 for _ in texts], **kw)
+
+    before = engine.fused_fallback_videos
+    monkeypatch.setattr(type(engine.tok), "__call__",
+                        lambda self, texts, **kw: expanding_tok(texts, **kw))
+    cfg = dict(caption=True, filter=True, filter_generated_only=True,
+               keep_original_caption=False, threshold=-10.0,
+               filter_mode="max_filter", generation_mode="beam",
+               do_sentence_tokenization=False)
+    res = engine.run_chunk(_chunk(frames), cfg, rng=jax.random.PRNGKey(0))
+    monkeypatch.undo()
+    assert engine.fused_fallback_videos > before  # verification rejected rows
+    assert all(isinstance(r.text, list) for r in res)

@@ -178,6 +178,18 @@ class CapFiltEngine:
         # (models/blip.py:101: len(tokenizer(prompt).input_ids) - 1)
         self.prompt_length = len(prompt_ids) - 1
 
+        # Fused-filter ITM text length: generated captions carry at most
+        # max_length - len(prompt_ids) tokens, so [CLS] + caption + [SEP]
+        # fits in that + 2 — trimming the itm_max_text_len=35 pad
+        # (reference run_video_CapFilt.py:110 contract) to this bound cuts
+        # the per-(caption, frame) MED rows ~L/35 with BITWISE-identical
+        # probs (masked pads contribute exactly 0; same argument as the
+        # tokenization rerank trim). Host verification re-tokenizes at the
+        # full 35 and falls back to the classic 35-pad path for any row
+        # whose WordPiece re-tokenization expands past this bound.
+        self.itm_text_len_fused = min(
+            itm_max_text_len, _round_up(max_length - len(self.prompt_ids) + 2, 8))
+
         self.gen_beam = GenerationConfig(
             max_length=max_length, min_length=min_length, num_beams=num_beams,
             eos_token_id=tokenizer.sep_token_id, pad_token_id=tokenizer.pad_token_id,
@@ -282,7 +294,7 @@ class CapFiltEngine:
             ids, tmask = itm_ids_from_seqs(
                 seqs, len(self.prompt_ids), tokenizer.cls_token_id,
                 tokenizer.sep_token_id, tokenizer.pad_token_id,
-                itm_max_text_len)
+                self.itm_text_len_fused)
             L = ids.shape[1]
             ids = ids.reshape(V, F, L)
             tmask = tmask.reshape(V, F, L)
@@ -562,9 +574,10 @@ class CapFiltEngine:
                                               threshold, mode)
 
         seqs_np = np.asarray(d.seqs_dev)
+        Lf = self.itm_text_len_fused
         dev_ids, _ = itm_ids_from_seqs_np(
             seqs_np, len(self.prompt_ids), self.tok.cls_token_id,
-            self.tok.sep_token_id, self.tok.pad_token_id, self.itm_max_text_len)
+            self.tok.sep_token_id, self.tok.pad_token_id, Lf)
         out: list[list[str] | None] = []
         fallback: list[int] = []
         for v, texts in enumerate(to_filter):
@@ -576,8 +589,15 @@ class CapFiltEngine:
                                max_length=self.itm_max_text_len)
                 for t_idx, t in enumerate(texts):
                     f0 = caps_v.index(t) if t in caps_v else -1
-                    if f0 < 0 or not np.array_equal(enc.input_ids[t_idx],
-                                                    dev_ids[v * F + f0]):
+                    # compare over the fused length; anything past it in
+                    # the 35-pad host re-tokenization must be pure pad
+                    # (a retok-EXPANDED caption overflows the fused bound
+                    # and takes the classic 35-pad path instead)
+                    if (f0 < 0
+                            or (enc.input_ids[t_idx][Lf:]
+                                != self.tok.pad_token_id).any()
+                            or not np.array_equal(enc.input_ids[t_idx][:Lf],
+                                                  dev_ids[v * F + f0])):
                         ok = False
                         break
                     row = probs[v, f0]
