@@ -264,3 +264,51 @@ def test_t2v_bucketed_matches_row_major():
         sims, lambda rows_b, topk_b: ev._itm_t2v_blocks(video_feats, tids, tatts,
                                                         rows_b, topk_b))
     np.testing.assert_allclose(bucketed, row_major, atol=1e-5)
+
+
+def test_retrieval_eval_trimmed_bitwise(tmp_path):
+    """compute_text_features trims the 35-pad rerank ids to the corpus's
+    true max (rounded to 8); score matrices must be BITWISE identical to
+    running the rerank on the untrimmed 35-pad arrays (masked pads
+    contribute exactly 0)."""
+    import jax
+
+    from vidil_tpu.config import MedConfig, ViTConfig
+    from vidil_tpu.evals.retrieval import RetrievalEvaluator
+    from vidil_tpu.models.blip import init_blip_itm
+    from vidil_tpu.tokenizer import BlipTokenizer, write_test_vocab
+
+    vocab = str(tmp_path / "vocab.txt")
+    write_test_vocab(vocab, ["a", "dog", "runs", "on", "the", "beach",
+                             "cat", "sits", "man", "plays", "guitar"])
+    tok = BlipTokenizer(vocab)
+    vit = ViTConfig(image_size=32, patch_size=16, hidden_size=32, num_layers=2, num_heads=4)
+    med = MedConfig(vocab_size=tok.vocab_size, hidden_size=32, num_layers=2,
+                    num_heads=4, intermediate_size=64,
+                    max_position_embeddings=64, encoder_width=32)
+    params = init_blip_itm(jax.random.PRNGKey(0), vit, med)
+    ev = RetrievalEvaluator(params, vit, med, tok, k_test=2, rows_per_batch=2,
+                            dtype=None)
+
+    texts = ["a dog runs on the beach", "a cat sits", "a man plays guitar"]
+    text_embeds, text_ids, text_atts = ev.compute_text_features(texts)
+    assert text_ids.shape[1] < 35  # trim engaged
+
+    enc = tok(texts, padding="max_length", truncation=True, max_length=35)
+    ids35 = np.asarray(enc.input_ids).copy()
+    ids35[:, 0] = tok.enc_token_id
+    atts35 = np.asarray(enc.attention_mask)
+    # embeds must equal the untrimmed-path embeds (computed pre-trim)
+    emb35 = np.asarray(ev._text_side(enc.input_ids, enc.attention_mask))
+    np.testing.assert_array_equal(text_embeds, emb35)
+
+    rng = np.random.RandomState(1)
+    video_feats = rng.randn(4, 5, 32).astype(np.float32) * 0.2
+    video_embeds = rng.randn(4, text_embeds.shape[1]).astype(np.float32)
+
+    v2t_t, t2v_t = ev.score_matrices(video_feats, video_embeds, text_embeds,
+                                     text_ids, text_atts)
+    v2t_f, t2v_f = ev.score_matrices(video_feats, video_embeds, text_embeds,
+                                     ids35, atts35)
+    np.testing.assert_array_equal(v2t_t, v2t_f)
+    np.testing.assert_array_equal(t2v_t, t2v_f)

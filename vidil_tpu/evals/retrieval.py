@@ -154,7 +154,18 @@ class RetrievalEvaluator:
             atts.append(enc.attention_mask)
         text_ids = np.concatenate(ids)
         text_ids[:, 0] = self.tok.enc_token_id
-        return np.concatenate(embeds), text_ids, np.concatenate(atts)
+        text_atts = np.concatenate(atts)
+        # Trim the fixed 35-pad (reference :45 contract) to the corpus's
+        # true max token count rounded to 8: the ITM rerank's per-(text,
+        # video) MED rows are all proportional to L, and masked pads
+        # contribute exactly 0 (exp underflow), so every rerank score is
+        # BITWISE identical (test_retrieval_eval_trimmed_bitwise). One
+        # corpus -> one trimmed shape -> one compile.
+        L = int(text_atts.sum(axis=1).max())
+        L = min(35, max(8, ((L + 7) // 8) * 8))
+        return (np.concatenate(embeds),
+                np.ascontiguousarray(text_ids[:, :L]),
+                np.ascontiguousarray(text_atts[:, :L]))
 
     def compute_video_features(self, video_batches):
         """video_batches: iterable of (B, N, S, S, C) normalized arrays.
