@@ -70,18 +70,25 @@ def main():
     eng_dot = CapFiltEngine(cap, fil, tok, vit_cfg, med_cfg, cross_kv_int8="dot", **kw)
 
     F_TOTAL = VIDEOS * NUM_FRM
-    rng = np.random.RandomState(0)
     from vidil_tpu.ops.image import YUV420Frames
 
-    host = YUV420Frames(
-        rng.randint(0, 256, size=(F_TOTAL, IMAGE_SIZE, IMAGE_SIZE), dtype=np.uint8),
-        rng.randint(0, 256, size=(F_TOTAL, IMAGE_SIZE // 2, IMAGE_SIZE // 2), dtype=np.uint8),
-        rng.randint(0, 256, size=(F_TOTAL, IMAGE_SIZE // 2, IMAGE_SIZE // 2), dtype=np.uint8),
-    )
-    dev_a = jax.device_put(host)
-    dev_b = jax.device_put(YUV420Frames(host.y + np.uint8(3), host.u, host.v))
-    jax.block_until_ready((dev_a, dev_b))
-    log("frames uploaded")
+    # on-device sin-fill synthesis: the two buffers total ~113 MB, the
+    # exact device_put size CLAUDE.md warns can hang >15 min in a tunnel
+    # stall trough — measurement tools must synthesize inputs on device
+    def synth_planes(salt):
+        def plane(n, h, w, s):
+            v = jnp.sin(jnp.arange(n * h * w, dtype=jnp.float32) * 0.017 + s)
+            return (v * 127 + 128).astype(jnp.uint8).reshape(n, h, w)
+        return YUV420Frames(
+            plane(F_TOTAL, IMAGE_SIZE, IMAGE_SIZE, salt),
+            plane(F_TOTAL, IMAGE_SIZE // 2, IMAGE_SIZE // 2, salt + 1.0),
+            plane(F_TOTAL, IMAGE_SIZE // 2, IMAGE_SIZE // 2, salt + 2.0),
+        )
+
+    dev_a = jax.jit(lambda: synth_planes(0.0))()
+    dev_b = jax.jit(lambda: synth_planes(3.0))()
+    float(jnp.sum(dev_a.y[:1, :1, :4]) + jnp.sum(dev_b.y[:1, :1, :4]))
+    log("frames synthesized on device")
 
     # ---- isolated generate program: encode once, reuse per-frame embeds
     # (CapFilt captions per FRAME: embeds (F_TOTAL, 577, D))

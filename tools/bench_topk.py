@@ -92,8 +92,11 @@ def main():
     rows_list = [(256, 3 * 30524, 6), (384, 3 * 30524, 6), (96, 3 * 30524, 6)]
     results = []
     for B, N, k in rows_list:
-        rng = np.random.RandomState(0)
-        x = jnp.asarray(rng.randn(B, N).astype(np.float32))
+        # on-device sin-fill synthesis (CLAUDE.md: measurement tools must
+        # not device_put ~100 MB host buffers over the stall-prone tunnel)
+        x = jax.jit(lambda B=B, N=N: jnp.sin(
+            jnp.arange(B * N, dtype=jnp.float32) * 0.731).reshape(B, N))()
+        float(jnp.sum(x[:1, :4]))
         row = {"B": B, "N": N, "k": k}
         row["lax_top_k_ms"] = round(timed(jax.lax.top_k, x, k), 3)
         for tile in (1024, 2048, 4096):

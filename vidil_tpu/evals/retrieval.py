@@ -156,13 +156,13 @@ class RetrievalEvaluator:
         text_ids[:, 0] = self.tok.enc_token_id
         text_atts = np.concatenate(atts)
         # Trim the fixed 35-pad (reference :45 contract) to the corpus's
-        # true max token count rounded to 8: the ITM rerank's per-(text,
-        # video) MED rows are all proportional to L, and masked pads
-        # contribute exactly 0 (exp underflow), so every rerank score is
-        # BITWISE identical (test_retrieval_eval_trimmed_bitwise). One
-        # corpus -> one trimmed shape -> one compile.
-        L = int(text_atts.sum(axis=1).max())
-        L = min(35, max(8, ((L + 7) // 8) * 8))
+        # true max token count (tokenizer.trimmed_pad_len): bitwise-neutral
+        # for the rerank (test_retrieval_eval_trimmed_bitwise) while the
+        # per-(text, video) MED rows — all proportional to L — shrink.
+        # One corpus -> one trimmed shape -> one compile.
+        from vidil_tpu.tokenizer import trimmed_pad_len
+
+        L = trimmed_pad_len(text_atts)
         return (np.concatenate(embeds),
                 np.ascontiguousarray(text_ids[:, :L]),
                 np.ascontiguousarray(text_atts[:, :L]))

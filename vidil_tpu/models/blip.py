@@ -144,6 +144,9 @@ def blip_generate_ids(
         # the full cross-K/V); parity-affecting opt-in — see quantize_cross_kv.
         # 'dot' additionally quantizes q/probs per row so the attention dots
         # run int8 x int8 on the MXU (no materialized bf16 dequant copy).
+        # NOTE: 'dot' requires the beam-grouped layout — with beam_size==1
+        # (beam_group_kv=False, or sample mode) the attention block has no
+        # int8-dot kernel and degrades to the int8-store dequant path.
         cross_k, cross_v = M.quantize_cross_kv(cross_k, cross_v)
     cross_bias = M.invert_attention_mask(jnp.ones(kv_src.shape[:2], jnp.int32))
     cache = M.init_self_cache(med_cfg, batch, gen.max_length,

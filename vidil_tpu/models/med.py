@@ -297,9 +297,13 @@ def _attn_block_precomputed_kv(p, x, k, v, bias, num_heads: int, eps: float,
         ctx = merge_heads(ctx.reshape(Bn, H, L, Dh))
     else:
         if k_quant:
-            # dequant fuses into the dot operands; HBM still reads int8
-            k = (k["q8"].astype(q.dtype) * k["scale"].astype(q.dtype))
-            v = (v["q8"].astype(q.dtype) * v["scale"].astype(q.dtype))
+            # dequant in fp32 then cast once, so the fp32 scales are not
+            # themselves rounded to bf16 (keeps this branch's numerics
+            # consistent with the grouped branch, which applies scales to
+            # fp32 logits exactly); int8_dot has no beam-size-1 kernel —
+            # it degrades to this dequant path (see blip_generate_ids)
+            k = (k["q8"].astype(jnp.float32) * k["scale"]).astype(q.dtype)
+            v = (v["q8"].astype(jnp.float32) * v["scale"]).astype(q.dtype)
         ctx = merge_heads(dot_product_attention(q, k, v, bias=bias))
     out = linear(p["out"], ctx, dtype=dtype)
     return layer_norm(p["norm"], out + x, eps)

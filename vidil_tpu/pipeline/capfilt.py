@@ -137,7 +137,9 @@ class CapFiltEngine:
         dtype=jnp.bfloat16,
         length_norm: str = "legacy",
         beam_group_kv: bool = False,
-        cross_kv_int8: bool | str = False,  # False | True (int8 store) | 'dot' (int8 MXU dots)
+        cross_kv_int8: bool | str = False,  # False | True (int8 store) | 'dot'
+        # ('dot' = int8 MXU attention dots; needs beam_group_kv=True — at
+        # beam_size 1 it degrades to the int8-store dequant path)
         early_exit: bool = True,
         early_readback: bool = True,
         fused_filter: bool = True,
@@ -298,10 +300,12 @@ class CapFiltEngine:
             L = ids.shape[1]
             ids = ids.reshape(V, F, L)
             tmask = tmask.reshape(V, F, L)
-            # pad rows to the classic path's text bucket so the grouped
-            # program runs with the SAME group_size/shapes as
-            # filter_captions_batch would (bitwise-identical per-row
-            # probs); padded rows mirror classic: zero ids, mask [1,0..]
+            # pad rows to the classic path's text-COUNT bucket so the
+            # grouped program runs with the same group_size T as
+            # filter_captions_batch would; the text LENGTH differs (fused
+            # Lf vs classic 35), which keeps per-row probs bitwise equal
+            # anyway because masked pads contribute exactly 0 (exp
+            # underflow). Padded rows mirror classic: zero ids, mask [1,0..]
             T = _round_up(F, 4)
             if T != F:
                 pad_ids = jnp.zeros((V, T - F, L), jnp.int32)

@@ -363,16 +363,15 @@ class BlipTokenizationEngine:
         n = len(texts)
         enc = self.tok(texts, padding="max_length", truncation=True, max_length=35)
         # Trim the fixed max_length=35 padding (reference :122 contract) to
-        # the batch's true max token count, rounded up to 8 for tiling.
-        # Pad positions are attention-masked: their additive -1e4 bias
-        # underflows exp() to exactly 0.0 in fp32, so every text embed and
-        # ITM score is BITWISE identical (pinned in
+        # the batch's true max token count (tokenizer.trimmed_pad_len):
+        # bitwise-neutral (masked pads contribute exactly 0 — pinned in
         # test_blip_tokenization.py::test_trimmed_padding_bitwise_equal)
         # while the text-side rerank FLOPs — the per-(frame,candidate)
         # MED rows, all proportional to L — drop by ~35/L. The ontology is
         # fixed per run, so the trimmed shape compiles once.
-        L = int(np.asarray(enc.attention_mask).sum(axis=1).max())
-        L = min(35, max(8, ((L + 7) // 8) * 8))
+        from vidil_tpu.tokenizer import trimmed_pad_len
+
+        L = trimmed_pad_len(enc.attention_mask)
         enc.input_ids = np.ascontiguousarray(np.asarray(enc.input_ids)[:, :L])
         enc.attention_mask = np.ascontiguousarray(np.asarray(enc.attention_mask)[:, :L])
         if n <= bs:

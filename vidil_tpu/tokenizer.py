@@ -463,6 +463,20 @@ class ClipBPETokenizer:
         return data.decode("utf-8", errors="replace").replace("</w>", " ").strip()
 
 
+def trimmed_pad_len(attention_mask, cap: int = 35, mult: int = 8) -> int:
+    """Effective padded length for a tokenized batch: the true max token
+    count rounded up to ``mult``, clamped to the reference's fixed pad
+    ``cap``. Shared by the ITM-text trims (visual tokenization rerank,
+    retrieval-eval rerank): masked pad positions contribute exactly 0 to
+    attention (their -1e4 additive bias underflows exp() in fp32), so
+    slicing ids/atts to this length is bitwise-neutral while the
+    per-row text-side FLOPs drop ~cap/L."""
+    import numpy as np
+
+    L = int(np.asarray(attention_mask).sum(axis=1).max())
+    return min(cap, max(mult, ((L + mult - 1) // mult) * mult))
+
+
 def write_test_clip_bpe(vocab_path: str, merges_path: str, words: list[str]) -> None:
     """Build a tiny CLIP-style vocab.json + merges.txt covering `words`:
     every byte-char and byte-char+'</w>' is in the vocab, plus whole-word
