@@ -123,6 +123,24 @@ def main():
 
     t_itm = timed(run_itm, lambda out: None, "itm_filter")
 
+    # --- fused ITM (the CLI path: ids built on device at the TRIMMED
+    # text length itm_text_len_fused) on the same embeds/seqs ---
+    cap_embeds = engine.encode_captioner(frames)
+    seqs_dev = engine.generate_beam(cap_embeds, jax.random.PRNGKey(0))
+
+    def run_itm_fused():
+        return engine._itm_fused(embeds, seqs_dev)
+
+    t_itm_fused = timed(
+        run_itm_fused,
+        lambda out: float(jnp.sum(out.astype(jnp.float32))),  # readback closes
+        "itm_filter_fused")
+    fl_fused = analytic_tflops(F, VIDEOS, NUM_FRM,
+                               itm_rows_per_video=_round_up(NUM_FRM, 4),
+                               itm_text_len=engine.itm_text_len_fused,
+                               image_size=IMAGE_SIZE, vocab=tok.vocab_size,
+                               dec_steps=20 - engine.prompt_length)
+
     fl = analytic_tflops(F, VIDEOS, NUM_FRM, itm_rows_per_video=itm_rows,
                          itm_text_len=engine.itm_max_text_len,
                          image_size=IMAGE_SIZE, vocab=tok.vocab_size,
@@ -142,6 +160,11 @@ def main():
                         "mfu": round(fl["decode"] / max(t_decode, 1e-9) / V5E_PEAK_BF16_TFLOPS, 4)},
         "itm_filter": {"s": round(t_itm, 3), "tflops": round(fl["itm"], 2),
                        "mfu": round(fl["itm"] / t_itm / V5E_PEAK_BF16_TFLOPS, 4)},
+        "itm_filter_fused": {"s": round(t_itm_fused, 3),
+                             "tflops": round(fl_fused["itm"], 2),
+                             "mfu": round(fl_fused["itm"] / t_itm_fused
+                                          / V5E_PEAK_BF16_TFLOPS, 4),
+                             "text_len": engine.itm_text_len_fused},
     }
     emit("capfilt_profile", {
         "metric": "capfilt_per_program_profile",
