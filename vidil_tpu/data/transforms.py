@@ -37,6 +37,20 @@ def _affine(img: Image.Image, coeffs) -> Image.Image:
                          fillcolor=REPLACE)
 
 
+def _posterize(img: Image.Image, bits: int) -> Image.Image:
+    """reference transform/randaugment.py:179-184,251-256.
+
+    The reference masks with np.uint8(255 << (8 - bits)), which on its
+    era's wrapping numpy equals PIL's posterize mask for bits 1-4 and
+    wraps to 0 at bits == 0 — i.e. level < 2.5 BLACKS OUT the image
+    (on numpy >= 2 the same expression raises OverflowError, so the
+    reference op cannot run at all there). We reproduce the legacy-wrap
+    semantics exactly (tests/test_randaugment_reference_oracle.py)."""
+    if bits == 0:
+        return Image.new(img.mode, img.size, 0)
+    return ImageOps.posterize(img, bits)
+
+
 def _cutout(img: Image.Image, pad_size: int, replace=(0, 0, 0)) -> Image.Image:
     """Random square patch replaced with a constant (reference:
     transform/randaugment.py:194-205 — center uniform over the image,
@@ -67,7 +81,7 @@ AUG_OPS = {
     "ShearY": lambda img, level: _affine(img, (1, 0, 0, _signed(level, 0.3), 1, 0)),
     "TranslateX": lambda img, level: _affine(img, (1, 0, _signed(level, TRANSLATE_CONST), 0, 1, 0)),
     "TranslateY": lambda img, level: _affine(img, (1, 0, 0, 0, 1, _signed(level, TRANSLATE_CONST))),
-    "Posterize": lambda img, level: ImageOps.posterize(img, max(1, int((level / MAX_LEVEL) * 4))),
+    "Posterize": lambda img, level: _posterize(img, int((level / MAX_LEVEL) * 4)),
     # Available but not in any policy, mirroring the reference:
     # cutout_func/cutout_level_to_args exist outside its dispatch dict
     # (reference: transform/randaugment.py:194-205,232-238; cutout_const=10
