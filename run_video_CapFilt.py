@@ -185,7 +185,8 @@ def main(args, config):
         # pad the chunk to a fixed size so the compiled program is reused
         while len(chunk) < chunk_size:
             chunk.append({**chunk[0]})
-        d = engine.dispatch_chunk(chunk, config, rng=jax.random.PRNGKey(args.seed))
+        d = engine.dispatch_chunk(chunk, config, rng=jax.random.PRNGKey(args.seed),
+                                  n_real=real)
         if keep_in_flight:
             flush_in_flight()
             in_flight = (d, meta, real)

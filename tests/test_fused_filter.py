@@ -266,3 +266,21 @@ def test_fused_fallback_on_retok_expansion(engine, frames, monkeypatch):
     monkeypatch.undo()
     assert engine.fused_fallback_videos > before  # verification rejected rows
     assert all(isinstance(r.text, list) for r in res)
+
+
+def test_fused_counters_exclude_chunk_padding(engine, frames):
+    """Tail-chunk pad videos (the CLI pads with copies of chunk[0]) must
+    not inflate fused_total_videos/fused_fallback_videos — the counters
+    report the fallback RATE over real videos."""
+    cfg = dict(caption=True, filter=True, filter_generated_only=True,
+               keep_original_caption=False, threshold=-10.0,
+               filter_mode="max_filter", generation_mode="beam",
+               do_sentence_tokenization=False)
+    chunk = _chunk(frames)
+    padded = chunk + [{**chunk[0]} for _ in range(3)]  # 3 real + 3 pads
+    before = engine.fused_total_videos
+    d = engine.dispatch_chunk(padded, cfg, rng=jax.random.PRNGKey(2),
+                              n_real=len(chunk))
+    res = engine.complete_chunk(d)
+    assert len(res) == len(padded)  # outputs still cover the padded chunk
+    assert engine.fused_total_videos - before == len(chunk)

@@ -63,26 +63,11 @@ def main():
     cap_shapes = jax.eval_shape(lambda: init_blip_decoder(jax.random.PRNGKey(0), vit_cfg, med_cfg))
     fil_shapes = jax.eval_shape(lambda: init_blip_itm(jax.random.PRNGKey(1), vit_cfg, med_cfg))
 
-    def synth(shapes, salt):
-        leaves = []
-
-        def fill(path, leaf):
-            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-            idx = len(leaves)
-            leaves.append(None)
-            n = int(np.prod(leaf.shape)) if leaf.shape else 1
-            if name == "scale":
-                return jnp.ones(leaf.shape, leaf.dtype)
-            if name == "bias":
-                return jnp.zeros(leaf.shape, leaf.dtype)
-            x = jnp.arange(n, dtype=jnp.float32)
-            x = jnp.sin(x * 12.9898 + salt * 78.233 + idx) * 0.05
-            return x.reshape(leaf.shape).astype(leaf.dtype)
-
-        return jax.tree_util.tree_map_with_path(fill, shapes)
 
     t = time.time()
-    cap, fil = jax.jit(lambda: (synth(cap_shapes, 1.0), synth(fil_shapes, 2.0)))()
+    from vidil_tpu.utils.synth import synth_tree
+
+    cap, fil = jax.jit(lambda: (synth_tree(cap_shapes, 1.0), synth_tree(fil_shapes, 2.0)))()
     jax.block_until_ready((cap, fil))
     log(f"param synth {time.time()-t:.1f}s")
 

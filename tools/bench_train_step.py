@@ -83,23 +83,11 @@ def main():
     state_shapes = jax.eval_shape(
         lambda: create_train_state(jax.random.PRNGKey(0), vit_cfg, med_cfg, opt,
                                    embed_dim=256, queue_size=57600))
-    idx = [0]
+    from vidil_tpu.utils.synth import synth_tree
 
-    def fill(path, leaf):
-        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        i = idx[0]
-        idx[0] += 1
-        if not jnp.issubdtype(leaf.dtype, jnp.floating):
-            return jnp.zeros(leaf.shape, leaf.dtype)
-        if name == "scale":
-            return jnp.ones(leaf.shape, leaf.dtype)
-        if name == "bias":
-            return jnp.zeros(leaf.shape, leaf.dtype)
-        n = int(np.prod(leaf.shape)) if leaf.shape else 1
-        x = jnp.sin(jnp.arange(n, dtype=jnp.float32) * 12.9898 + i) * 0.02
-        return x.reshape(leaf.shape).astype(leaf.dtype)
-
-    synth_state = jax.jit(lambda: jax.tree_util.tree_map_with_path(fill, state_shapes))
+    # salt=0.0 + amplitude=0.02 reproduces the original inline fill
+    # bit-for-bit (synth_tree formula: sin(arange*12.9898 + 0 + i) * amp)
+    synth_state = jax.jit(lambda: synth_tree(state_shapes, 0.0, amplitude=0.02))
     state = synth_state()
     jax.block_until_ready(state)
     log(f"on-device state synth: {time.time()-t:.1f}s")

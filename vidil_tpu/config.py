@@ -33,8 +33,9 @@ def compute_dtype_from_config(config: dict, override=None):
     """Tower compute dtype for the pipeline CLIs: bf16 by default (MXU-rate
     matmuls with fp32 LN/softmax islands inside the models);
     `compute_dtype: float32` pins full-fp32 towers for
-    maximum-conservatism parity runs. `override` (a jnp dtype or None for
-    fp32) wins when given."""
+    maximum-conservatism parity runs. A non-None `override` (a jnp dtype)
+    wins over the config; override=None defers to the config (to force
+    fp32 programmatically, set config['compute_dtype'] = 'float32')."""
     if override is not None:
         return override
     import jax.numpy as jnp

@@ -115,6 +115,7 @@ class ChunkDispatch:
     seqs_dev: object | None      # (V*F, max_length) caption token ids, async
     frame_embeds: object | None  # (V, F, P, D) filterer ViT outputs, async
     itm_probs: object | None = None  # (V, F, F) fused-filter probs, async
+    n_real: int | None = None    # videos before tail-chunk padding (counters)
 
 
 class CapFiltEngine:
@@ -395,7 +396,8 @@ class CapFiltEngine:
 
     # -- full CapFilt over a chunk ------------------------------------------
 
-    def dispatch_chunk(self, chunk: list[dict], config: dict, rng=None) -> ChunkDispatch:
+    def dispatch_chunk(self, chunk: list[dict], config: dict, rng=None,
+                       n_real: int | None = None) -> ChunkDispatch:
         """Enqueue a chunk's device programs WITHOUT blocking the host.
 
         chunk items: {'video_id': str, 'frames': (F, S, S, C) uint8,
@@ -413,15 +415,15 @@ class CapFiltEngine:
         sequential order left the device idle for the whole host-glue
         window (measured ~0.1-0.6 s/iter on the tunnel).
 
-        Pipelining ACROSS chunks (enqueue chunk i+1 before completing
-        chunk i) was tried and measured a wash on this backend
-        (interleaved A/B: seq 123.4 f/s vs pipe 120.5 f/s median, pipe
-        noisier with a 3.2 s fill iteration;
-        tools/ab_capfilt_pipeline.py, artifact
-        benchmarks/capfilt_ab_pipeline.jsonl) — and was removed: this
-        dispatch order already captures the overlap the backend permits,
-        and the residual glue (caption detokenize -> ITM re-tokenize) is
-        serialized by data dependency, not by schedule.
+        Cross-chunk pipelining history, path-dependent: for the CLASSIC
+        filter, keeping a chunk in flight measured a wash (interleaved
+        A/B: seq 123.4 vs pipe 120.5 f/s; capfilt_ab_pipeline.jsonl) —
+        its mid-chunk caption->ITM host dependency serialized every
+        schedule. The FUSED filter removed that dependency (ITM ids
+        built on device), after which one chunk in flight is worth +27%
+        (capfilt_ab_fused.jsonl) — that is the dispatch_chunk/
+        complete_chunk split the CLI and bench.py use
+        (run_video_CapFilt.py keep_in_flight).
         """
         F = _num_frames(chunk[0]["frames"])
 
@@ -471,7 +473,8 @@ class CapFiltEngine:
                     itm_probs.copy_to_host_async()
                 except AttributeError:
                     pass
-        return ChunkDispatch(chunk, config, F, seqs_dev, frame_embeds, itm_probs)
+        return ChunkDispatch(chunk, config, F, seqs_dev, frame_embeds, itm_probs,
+                             n_real=n_real)
 
     def complete_chunk(self, d: ChunkDispatch) -> list[CapFiltResult]:
         """Block on a dispatched chunk's device work and assemble results."""
@@ -564,7 +567,11 @@ class CapFiltEngine:
         probs = np.asarray(d.itm_probs)   # (V, T, F)
         mode = config.get("filter_mode", "max_filter")
         threshold = config["threshold"]
-        self.fused_total_videos += len(to_filter)
+        # count only videos BEFORE tail-chunk padding (the CLI pads the
+        # last chunk with copies of chunk[0]; pads would otherwise inflate
+        # both counters and skew the fallback rate these exist to report)
+        n_real = len(to_filter) if d.n_real is None else min(d.n_real, len(to_filter))
+        self.fused_total_videos += n_real
 
         # the fused program bucketed its rows to round_up(F, 4); the
         # classic program buckets to round_up(max #texts, 4) — equal
@@ -573,7 +580,7 @@ class CapFiltEngine:
         max_n = max((len(t) for t in to_filter), default=0)
         T_classic = _round_up(max_n, 4)
         if max_n > 0 and T_classic != probs.shape[1]:
-            self.fused_fallback_videos += len(to_filter)
+            self.fused_fallback_videos += n_real
             return self.filter_captions_batch(d.frame_embeds, to_filter,
                                               threshold, mode)
 
@@ -614,7 +621,7 @@ class CapFiltEngine:
                 out.append(None)
                 fallback.append(v)
         if fallback:
-            self.fused_fallback_videos += len(fallback)
+            self.fused_fallback_videos += sum(1 for v in fallback if v < n_real)
             fe = d.frame_embeds[np.asarray(fallback)]
             rescored = self.filter_captions_batch(
                 fe, [to_filter[v] for v in fallback], threshold, mode,

@@ -65,28 +65,9 @@ def make_retrieval_train_step(vit_cfg: ViTConfig, med_cfg: MedConfig, optimizer,
     batch: video (B,N,S,S,C), text_ids/enc_ids/text_mask (B,L), idx (B,)
     """
 
-    # training default: rematerialize the MED layer scans — the saved
-    # (L, B, Lq, D) activation stacks are what blow HBM at large batches
-    if med_remat and not med_cfg.remat:
-        import dataclasses
+    from vidil_tpu.train.common import training_cfgs
 
-        med_cfg = dataclasses.replace(med_cfg, remat=True)
-    # attention under autodiff is cheapest entirely on XLA (the Pallas
-    # kernel's VJP recomputes through XLA anyway, paying a third pass)
-    if vit_cfg.use_flash:
-        import dataclasses
-
-        vit_cfg = dataclasses.replace(vit_cfg, use_flash=False)
-    # same for the fused MLP kernel: its VJP recomputes through XLA, which
-    # under remat duplicates the recompute remat already performs
-    if vit_cfg.use_fused_mlp:
-        import dataclasses
-
-        vit_cfg = dataclasses.replace(vit_cfg, use_fused_mlp=False)
-    if med_cfg.use_fused_mlp:
-        import dataclasses
-
-        med_cfg = dataclasses.replace(med_cfg, use_fused_mlp=False)
+    vit_cfg, med_cfg = training_cfgs(vit_cfg, med_cfg, med_remat)
     def train_step(state: RetrievalTrainState, batch, alpha, rng):
         def loss_fn(params):
             loss_ita, loss_itm, aux = retrieval_loss(

@@ -32,28 +32,9 @@ def make_vqa_train_step(vit_cfg: ViTConfig, med_cfg: MedConfig, optimizer, dtype
     per-question answers, answer_question_index (A,), weights (A,).
     """
 
-    # training default: rematerialize the MED layer scans — the saved
-    # (L, B, Lq, D) activation stacks are what blow HBM at large batches
-    if med_remat and not med_cfg.remat:
-        import dataclasses
+    from vidil_tpu.train.common import training_cfgs
 
-        med_cfg = dataclasses.replace(med_cfg, remat=True)
-    # attention under autodiff is cheapest entirely on XLA (the Pallas
-    # kernel's VJP recomputes through XLA anyway, paying a third pass)
-    if vit_cfg.use_flash:
-        import dataclasses
-
-        vit_cfg = dataclasses.replace(vit_cfg, use_flash=False)
-    # same for the fused MLP kernel: its VJP recomputes through XLA, which
-    # under remat duplicates the recompute remat already performs
-    if vit_cfg.use_fused_mlp:
-        import dataclasses
-
-        vit_cfg = dataclasses.replace(vit_cfg, use_fused_mlp=False)
-    if med_cfg.use_fused_mlp:
-        import dataclasses
-
-        med_cfg = dataclasses.replace(med_cfg, use_fused_mlp=False)
+    vit_cfg, med_cfg = training_cfgs(vit_cfg, med_cfg, med_remat)
     def train_step(state: VQATrainState, batch):
         B_ = batch["video"].shape[0]
 
