@@ -94,6 +94,10 @@ def main():
         x = jnp.sin(jnp.arange(n, dtype=jnp.float32) * 0.71 + salt)
         return x.reshape(CHUNK, NUM_FRM, IMAGE_SIZE, IMAGE_SIZE, 3)
 
+    # warm the video-side compile out of the timing (remote compiles are
+    # tens of seconds; the steady-state rate is what the eval pays per chunk)
+    ev.compute_video_features([synth_frames(jnp.float32(999))])
+
     t = time.time()
 
     def batches():
