@@ -139,6 +139,38 @@ def main():
     from vidil_tpu.models.blip import init_blip_decoder, init_blip_itm
 
     log(f"device: {jax.devices()[0]}")
+
+    # chip-health canary: a fixed bf16 matmul chain whose TFLOP/s is
+    # workload-independent. The tunnel chip's effective rate swings by
+    # time of day (44-168 f/s observed on the SAME code); this field lets
+    # any reader separate "the code got slower" from "the chip/tunnel was
+    # in a trough when this line was recorded". This serialized
+    # square-matmul chain measures ~74 TFLOP/s on a HEALTHY chip (each
+    # step depends on the last, so there is no cross-step pipelining);
+    # the absolute number is not peak MFU - only the RATIO across runs
+    # matters.
+    def _canary_tflops():
+        K, REPS = 4096, 24
+
+        @jax.jit
+        def chain(x):
+            def body(c, _):
+                return (c @ c) * jnp.bfloat16(1e-3), ()
+            out, _ = jax.lax.scan(body, x, None, length=REPS)
+            return jnp.sum(out[:8, :8]).astype(jnp.float32)
+
+        x = jax.jit(lambda: (jnp.sin(jnp.arange(K * K, dtype=jnp.float32))
+                             .reshape(K, K) * 1e-3).astype(jnp.bfloat16))()
+        float(chain(x))  # compile + warm
+        t0 = time.perf_counter()
+        float(chain(x))
+        dt = time.perf_counter() - t0
+        return round(REPS * 2 * K**3 / dt / 1e12, 1)
+
+    canary = _canary_tflops()
+    log(f"chip-health canary: {canary} TFLOP/s (bf16 4096^3 chain; "
+        f"v5e peak 197)")
+
     t = time.time()
     # weights are synthesized ON DEVICE by one cheap jitted program (no RNG,
     # no host->TPU transfer): the remote-TPU link's transfer bandwidth and
@@ -328,6 +360,12 @@ def main():
                          "with chip/tunnel state by day, stable within a session)",
         "baseline_note": f"reference publishes no throughput; baseline = estimated A100 "
                          f"per-video-loop rate {BASELINE_FRAMES_PER_SEC_A100_ESTIMATE} frames/s",
+        "chip_canary_tflops": canary,
+        "chip_canary_note": "fixed bf16 4096^3 serialized matmul chain, "
+                            "workload-independent; reads ~74 on a healthy "
+                            "chip (chain is latency-bound by design, not "
+                            "peak MFU), a chip/tunnel trough reads a "
+                            "fraction - compare ACROSS runs to normalize",
         "device": str(jax.devices()[0]),
     }
     # stdout contract: exactly ONE JSON line; the artifact copy (stamped)
