@@ -89,3 +89,28 @@ def test_decode_parity(text, hf_tok, our_tok):
 def test_decode_skips_blip_specials(hf_tok, our_tok):
     ids = [our_tok.bos_token_id] + our_tok.encode("a picture of", add_special_tokens=False) + [our_tok.sep_token_id]
     assert our_tok.decode(ids) == hf_tok.decode(ids, skip_special_tokens=True)
+
+
+def test_fuzz_encode_decode_parity(hf_tok, our_tok):
+    """500 random strings over a nasty alphabet (subword-forcing pieces,
+    punctuation, accents, unicode, casing, whitespace runs): tokenize,
+    encode and decode must all be identical to HF built from the same
+    vocab — the tokenizer feeds every byte-sensitive path (ITM ids,
+    prompts, caption decode), so set-piece cases are not enough."""
+    import random
+
+    atoms = ["play", "playing", "run", "running", "talked", "dog", "cat",
+             "guitar", "beach", "kitchen", "unknownword", "café", "naïve",
+             "a", "the", "of", ".", ",", "!", "?", "'", "'s", "n't",
+             "UPPER", "MiXeD", "日本語", "1", "23", "  ", "\t", "-", "--"]
+    rng = random.Random(99)
+    for _ in range(500):
+        s = " ".join(rng.choice(atoms) for _ in range(rng.randint(1, 12)))
+        if not s.strip():
+            continue
+        assert our_tok.tokenize(s) == hf_tok.tokenize(s), repr(s)
+        ours = our_tok.encode(s)
+        theirs = hf_tok.encode(s)
+        assert ours == theirs, repr(s)
+        assert (our_tok.decode(np.asarray(ours), skip_special_tokens=True)
+                == hf_tok.decode(theirs, skip_special_tokens=True)), repr(s)

@@ -264,7 +264,7 @@ class BlipTokenizer:
         """HF clean_up_tokenization_spaces."""
         return (
             text.replace(" .", ".").replace(" ?", "?").replace(" !", "!")
-            .replace(" ,", ",").replace(" ' ", "' ").replace(" n't", "n't")
+            .replace(" ,", ",").replace(" ' ", "'").replace(" n't", "n't")
             .replace(" 'm", "'m").replace(" 's", "'s").replace(" 've", "'ve")
             .replace(" 're", "'re")
         )
