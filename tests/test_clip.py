@@ -139,3 +139,27 @@ def test_clip_vision_pooler_parity(hf_clip):
         ref = hf_clip.vision_model(pixel_values=torch.tensor(x)).pooler_output.numpy()
     got = np.asarray(clip_vision_forward(params, jnp.asarray(x.transpose(0, 2, 3, 1)), CFG)[1])
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_clip_tokenizer_fuzz(clip_tok_files):
+    """500 random strings (BPE-splitting fragments, punctuation, casing,
+    unicode, whitespace runs) must tokenize and encode identically to HF
+    CLIPTokenizer built from the same vocab/merges."""
+    import random
+
+    from transformers import CLIPTokenizer
+
+    vocab, merges = clip_tok_files
+    hf = CLIPTokenizer(vocab_file=vocab, merges_file=merges)
+    ours = ClipBPETokenizer(vocab, merges)
+    atoms = ["photo", "dog", "cat", "photos", "dogs", "unknown", "word",
+             "the", "a", "of", "UPPER", "MiXeD", "ph", "oto", "d", "og",
+             ".", ",", "!", "?", "'s", "-", "--", "café", "日本", "1", "42",
+             "  ", "\t"]
+    rng = random.Random(31)
+    for _ in range(500):
+        s = " ".join(rng.choice(atoms) for _ in range(rng.randint(1, 10)))
+        if not s.strip():
+            continue
+        assert ours.tokenize(s) == hf.tokenize(s), repr(s)
+        assert ours.encode(s) == hf(s).input_ids, repr(s)
