@@ -150,10 +150,20 @@ class Prompt:
 
         template_fn = TEMPLATE_FUNCS[config["prompt_temporal_template"]]
 
-        objects_str = template_fn(topk_tokens["objects"]) if config["add_objects"] else None
-        events_str = template_fn(topk_tokens["verbs"]) if config["add_events"] else None
-        attributes_str = template_fn(topk_tokens["attributes"]) if config["add_attributes"] else None
-        scenes_str = topk_tokens["scenes"][0] if config["add_scenes"] else None
+        # an EMPTY aggregated category degrades to its section being
+        # skipped (same bytes as the flag being off). The reference
+        # instead crashes outright on this degenerate input — its
+        # fixed-arity TEMPLATE_FUNC[len(tokens)] table has no 0 entry
+        # (prompts.py:147-157 KeyError) — so graceful skipping cannot
+        # diverge from any reference output (tests/test_prompts.py fuzz).
+        objects_str = (template_fn(topk_tokens["objects"])
+                       if config["add_objects"] and topk_tokens["objects"] else None)
+        events_str = (template_fn(topk_tokens["verbs"])
+                      if config["add_events"] and topk_tokens["verbs"] else None)
+        attributes_str = (template_fn(topk_tokens["attributes"])
+                          if config["add_attributes"] and topk_tokens["attributes"] else None)
+        scenes_str = (topk_tokens["scenes"][0]
+                      if config["add_scenes"] and topk_tokens["scenes"] else None)
         ASR_str = asr if config["add_ASR"] else None
 
         original_caption = visual_tokens_object["caption"]
