@@ -100,9 +100,8 @@ def main():
         if not first:
             # fresh state per batch size: the synthetic weights diverge to
             # nan after a few optimizer steps (timings are unaffected, but
-            # the logged losses should stay meaningful); idx resets so the
-            # sin-fill is identical to the first synthesis
-            idx[0] = 0
+            # the logged losses should stay meaningful); synth_tree's
+            # per-call leaf counter makes every synthesis identical
             state = synth_state()
         first = False
         rng = np.random.RandomState(0)
