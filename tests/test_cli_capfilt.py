@@ -148,3 +148,48 @@ def test_cli_data_parallel_matches(workdir):
         got = json.load(open(os.path.join(out_dir, name)))
         ref = json.load(open(os.path.join(ref_dir, name)))
         assert got == ref
+
+
+def test_cli_youcook2_yaml_end_to_end(workdir):
+    """Drive the ACTUAL configs/pipeline_config/pipeline_config_youcook2_train.yaml
+    (value-parity with the reference yaml: threshold 0.5, headtail sampling,
+    max_filter, filter_generated_only) end-to-end, overriding only the
+    offline-unavailable model keys (vit/med/ckpts -> the tiny fixtures).
+    Proves the reference youcook2 pipeline config runs zero-setup."""
+    import yaml
+
+    import run_video_CapFilt as cli
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    config = yaml.safe_load(open(os.path.join(
+        repo, "configs", "pipeline_config", "pipeline_config_youcook2_train.yaml")))
+    assert config["threshold"] == 0.5 and config["frm_sampling_strategy"] == "headtail"
+    # offline model overrides; every capfilt *behavior* key stays the yaml's.
+    config.update(
+        video_roots=workdir.config["video_roots"],
+        train_ann_jsons=workdir.config["train_ann_jsons"],
+        vit="tiny", vit_config=VIT_KW, image_size=IMAGE_SIZE,
+        med_config=workdir.config["med_config"],
+        bert_vocab=workdir.config["bert_vocab"],
+        caption_model_ckpt=workdir.config["caption_model_ckpt"],
+        filterer_model_ckpt=workdir.config["filterer_model_ckpt"],
+        videos_per_batch=2,
+    )
+
+    out_dir = str(workdir.root / "out_yc2")
+    args = types.SimpleNamespace(
+        output_dir=out_dir, seed=42, world_size=1, dist_url="env://",
+        distributed=False, device="cpu",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    cli.main(args, config)
+
+    cap = json.load(open(os.path.join(out_dir, "video_text_Cap.json")))
+    capfilt = json.load(open(os.path.join(out_dir, "video_text_CapFilt.json")))
+    assert set(cap.keys()) == {"video0", "video1", "video2"}
+    # threshold=0.5 on an untrained tiny ITM may drop any caption; the
+    # filtered dict must stay a subset with string entries.
+    assert set(capfilt.keys()) <= set(cap.keys())
+    for texts in capfilt.values():
+        assert all(isinstance(t, str) for t in texts)
+    assert not os.path.exists(os.path.join(out_dir, "tmp"))

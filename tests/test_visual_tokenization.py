@@ -207,6 +207,68 @@ def test_vendored_vg_ontology_counts():
         "objects": 11163, "attributes": 15157, "scenes": 365, "verbs": 7410}
 
 
+def test_vendored_youcook2_ontology_counts():
+    """The youcook2 ontology term lists are vendored byte-identical from the
+    reference's visual_token_ontology/youcook2/. NOTE: the reference CLI has
+    no 'youcook2' branch in its ontology loader (run_visual_tokenization.py:
+    369-381 only handles vg/vg_tencent; the youcook2 configs select
+    ontology: 'vg' with 'youcook2' commented out), so these are raw data
+    assets — pin their raw lengths so corruption fails loudly."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.join(repo, "visual_token_ontology", "youcook2")
+    counts = {f: len(json.load(open(os.path.join(root, f + ".json"))))
+              for f in ["cooking_vocabulary_nouns", "cooking_vocabulary_verbs",
+                        "openimage_relation_triples",
+                        "vg_srl_selected_object_synsets_keys_remove_similar0.9"]}
+    assert counts == {
+        "cooking_vocabulary_nouns": 1208,
+        "cooking_vocabulary_verbs": 504,
+        "openimage_relation_triples": 1466,
+        "vg_srl_selected_object_synsets_keys_remove_similar0.9": 7414,
+    }
+
+
+def test_cli_youcook2_yaml_end_to_end(clip_workdir, monkeypatch):
+    """Drive the ACTUAL configs/pipeline_config/pipeline_config_youcook2_train.yaml
+    (value-parity with the reference yaml) end-to-end, overriding only the
+    offline-unavailable keys (video/ann paths, checkpoints -> the tiny CLIP).
+    Proves every youcook2 config key is accepted and the vg ontology it
+    selects runs zero-setup."""
+    import yaml
+
+    import run_visual_tokenization as cli
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    config = yaml.safe_load(open(os.path.join(
+        repo, "configs", "pipeline_config", "pipeline_config_youcook2_train.yaml")))
+    assert config["ontology"] == "vg" and config["frm_sampling_strategy"] == "headtail"
+    # offline overrides: tiny CLIP + local synthetic videos; everything else
+    # (sampling strategy, ontology, topk, prompt version) is the yaml's own.
+    for k in ("clip_config", "clip_ckpt", "clip_vocab", "clip_merges"):
+        config[k] = clip_workdir.config[k]
+    ann = {"vid0": clip_workdir.ann["vid0"]}
+    ann_path = str(clip_workdir.root / "ann_yc2.json")
+    json.dump(ann, open(ann_path, "w"))
+    config["train_ann_jsons"] = ann_path
+    config["video_roots"] = str(clip_workdir.root / "videos")
+    config["ontology_root"] = os.path.join(repo, "visual_token_ontology")
+    config["videos_per_batch"] = 1
+    config["num_frm_visual_tokenization"] = 4
+
+    out_dir = str(clip_workdir.root / "out_yc2")
+    args = types.SimpleNamespace(output_dir=out_dir, seed=42, world_size=1,
+                                 dist_url="env://", distributed=False,
+                                 device="cpu", encoder_version="clip")
+    os.makedirs(out_dir, exist_ok=True)
+    cli.main(args, config)
+
+    tokens = json.load(open(os.path.join(out_dir, "visual_tokens.json")))
+    assert set(tokens.keys()) == {"vid0"}
+    for ft in tokens["vid0"]["frame_tokens"]:
+        for key in ("objects", "attributes", "scenes", "verbs"):
+            assert len(ft[key]) == config["topk_visualize"]
+
+
 def test_cli_vg_ontology_end_to_end(clip_workdir, monkeypatch):
     """ontology: vg runs out of the box on the vendored real term lists —
     including from a non-repo cwd (repo-root fallback for ontology_root)."""
