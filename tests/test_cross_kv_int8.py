@@ -116,3 +116,29 @@ def test_generate_int8_exact_when_rows_representable():
     finally:
         M.precompute_cross_kv = orig
     np.testing.assert_array_equal(np.asarray(q8), np.asarray(fp))
+
+
+@pytest.mark.parametrize("Lk,peaked", [(400, False), (2308, False), (2308, True)])
+def test_int8_dot_context_error_bound(Lk, peaked):
+    """'dot' mode additionally quantizes the softmax probabilities per row
+    (everything below max/254 rounds to zero), so with long video memories
+    the discarded tail mass could in principle skew the context. Pin the
+    block-output error of dot-vs-store on long-K shapes (including a hot-key
+    logit distribution) well below bf16 resolution — a substantive accuracy
+    regression in this opt-in mode must fail here, not hide behind the loose
+    token-agreement check above. Measured: <=2e-4 at Lk=2308."""
+    p = jax.tree.map(lambda x: x[0], M.init_med(jax.random.PRNGKey(1), CFG)["layers"])["cross_attn"]
+    H, Dh, B, nb = 4, 8, 2, 3
+    x = jax.random.normal(jax.random.PRNGKey(2), (B * nb, 1, CFG.hidden_size))
+    k = jax.random.normal(jax.random.PRNGKey(3), (B, H, Lk, Dh))
+    v = jax.random.normal(jax.random.PRNGKey(4), (B, H, Lk, Dh))
+    if peaked:
+        k = k.at[:, :, 0].mul(4.0)  # a hot key per row -> long near-zero tail
+    kq, vq = M.quantize_cross_kv(k, v)
+    out_store = M._attn_block_precomputed_kv(p, x, kq, vq, None, H,
+                                             CFG.layer_norm_eps, beam_size=nb)
+    out_dot = M._attn_block_precomputed_kv(p, x, kq, vq, None, H,
+                                           CFG.layer_norm_eps, beam_size=nb,
+                                           int8_dot=True)
+    np.testing.assert_allclose(np.asarray(out_dot), np.asarray(out_store),
+                               rtol=0, atol=1e-3)

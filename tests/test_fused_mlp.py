@@ -100,3 +100,49 @@ def test_fused_mlp_vjp_reference_matches_mlp_grads():
     for a, b in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_on_tpu_placement_aware():
+    """Dispatch gating must follow the array's actual placement, not the
+    process-default backend: this environment runs a CPU backend alongside
+    the TPU (CLAUDE.md), and a computation explicitly placed on CPU devices
+    must not route to the TPU-only kernels (advisor finding r3)."""
+    from vidil_tpu.models.layers import on_tpu
+
+    class _Dev:
+        def __init__(self, platform):
+            self.platform = platform
+
+    class _Arr:
+        def __init__(self, platform):
+            self._p = platform
+
+        def devices(self):
+            return {_Dev(self._p)}
+
+    assert on_tpu(_Arr("tpu")) is True
+    assert on_tpu(_Arr("cpu")) is False
+    # concrete placement wins over default backend
+    x = jnp.zeros((4, 4))  # committed to the (forced-cpu) default backend
+    assert on_tpu(x) is (jax.default_backend() == "tpu")
+
+    class _Tracer:  # no devices() -> falls back to the default backend
+        pass
+
+    assert on_tpu(_Tracer()) is (jax.default_backend() == "tpu")
+
+
+def test_mlp_auto_default_matches_config_default():
+    """mlp_auto's signature default must agree with ViTConfig/MedConfig
+    use_fused_mlp=False so direct callers omitting the flag get the
+    configured (measured-wash) default (advisor finding r3)."""
+    import inspect
+
+    from vidil_tpu.config import MedConfig, ViTConfig
+    from vidil_tpu.models.layers import mlp_auto
+    from vidil_tpu.models.vit import block_forward
+
+    assert inspect.signature(mlp_auto).parameters["use_fused"].default is False
+    assert inspect.signature(block_forward).parameters["use_fused_mlp"].default is False
+    assert ViTConfig().use_fused_mlp is False
+    assert MedConfig(vocab_size=8).use_fused_mlp is False

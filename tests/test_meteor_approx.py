@@ -104,3 +104,17 @@ def test_empty_and_degenerate_inputs():
     assert _meteor_sentence(["a"], []) == 0.0
     # single perfect match: fmean=1, one chunk, penalty=gamma*1 -> 0.5
     assert _meteor_sentence(["hello"], ["hello"]) == pytest.approx(0.5)
+
+
+def test_corpus_tolerates_degenerate_entries():
+    """A key with an empty reference list, or a res key absent from gts,
+    must not crash the corpus scorer (bleu/rouge tolerate both; advisor
+    finding r3: a single degenerate entry crashed the whole caption eval
+    after generation had completed)."""
+    from vidil_tpu.evals.caption_metrics import meteor_approx
+
+    gts = {"a": [["dog", "runs"]], "b": []}
+    res = {"a": [["dog", "runs"]], "b": [["cat"]], "c": [["bird"]]}
+    score = meteor_approx(gts, res)  # 'b' scores 0.0; 'c' skipped
+    assert score == pytest.approx(
+        meteor_approx({"a": gts["a"]}, {"a": res["a"]}) / 2)

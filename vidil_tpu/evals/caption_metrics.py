@@ -256,8 +256,8 @@ def meteor_approx(gts: dict, res: dict) -> float:
     exact METEOR comes from pycocoevalcap's Java jar (data/utils.py:208).
     """
     scores = [
-        max(_meteor_sentence(res[key][0], r) for r in gts[key])
-        for key in res
+        max((_meteor_sentence(res[key][0], r) for r in gts[key]), default=0.0)
+        for key in res if key in gts
     ]
     return sum(scores) / max(len(scores), 1)
 

@@ -148,19 +148,33 @@ _FUSED_MLP_MIN_ROWS = 2048
 _FUSED_MLP_MAX_WEIGHT_BYTES = 64 * 1024 * 1024  # both weights VMEM-resident
 
 
-def mlp_auto(params, x, act=gelu, dtype=None, use_fused: bool = True,
+def on_tpu(x) -> bool:
+    """True when `x` will execute on a TPU: a concrete array's committed
+    placement when available (a CPU backend coexists with the TPU in this
+    environment — see CLAUDE.md), else the process-default backend (the
+    tracer case: jit lowering targets the default backend unless the
+    caller placed inputs elsewhere, which the concrete branch catches)."""
+    try:
+        return all(d.platform == "tpu" for d in x.devices())
+    except Exception:
+        return jax.default_backend() == "tpu"
+
+
+def mlp_auto(params, x, act=gelu, dtype=None, use_fused: bool = False,
              interpret: bool = False):
     """mlp() with measured dispatch to the fused Pallas MLP kernel
     (ops/fused_mlp.py — the Apex fused-MLP/fused-dense analogue, SURVEY
     §2b). Fused only for exact-GELU MLPs with >= _FUSED_MLP_MIN_ROWS
     flattened rows whose weights fit VMEM, on a TPU backend (the kernel
-    carries TPU CompilerParams; off-TPU always takes XLA)."""
+    carries TPU CompilerParams; off-TPU always takes XLA). `use_fused`
+    defaults False to agree with ViTConfig/MedConfig.use_fused_mlp (the
+    measured in-situ wash — ARCHITECTURE.md)."""
     rows = x.size // x.shape[-1]
     k1 = params["fc1"]["kernel"]
     itemsize = jnp.dtype(dtype).itemsize if dtype is not None else k1.dtype.itemsize
     if (use_fused and act is gelu and rows >= _FUSED_MLP_MIN_ROWS
             and 2 * k1.size * itemsize <= _FUSED_MLP_MAX_WEIGHT_BYTES
-            and (interpret or jax.default_backend() == "tpu")):
+            and (interpret or on_tpu(x))):
         from vidil_tpu.ops.fused_mlp import fused_mlp
 
         if dtype is not None:

@@ -105,7 +105,7 @@ def attention(params, x, num_heads: int, dtype=None, use_flash: bool = True):
 
 
 def block_forward(params, x, num_heads: int, eps: float, dtype=None, use_flash: bool = True,
-                  use_fused_mlp: bool = True):
+                  use_fused_mlp: bool = False):
     """Pre-LN residual block (reference: models/vit.py:107-110)."""
     x = x + attention(params["attn"], layer_norm(params["norm1"], x, eps), num_heads,
                       dtype=dtype, use_flash=use_flash)

@@ -223,11 +223,14 @@ def _flash_profitable(q, k, bias) -> bool:
 
 def attention_auto(q, k, v, bias=None, use_flash: bool = True, interpret: bool = False):
     """flash_attention when measured-profitable (no bias, logits would
-    spill VMEM), XLA otherwise. Off-TPU backends always take the XLA path
-    unless interpret=True: the kernel carries TPU CompilerParams and
+    spill VMEM), XLA otherwise. Off-TPU placements always take the XLA
+    path unless interpret=True: the kernel carries TPU CompilerParams and
     fails to lower elsewhere, and the profitability table was measured on
-    a v5e anyway."""
+    a v5e anyway (placement-aware: a computation explicitly placed on the
+    coexisting CPU backend must not dispatch the TPU kernel)."""
+    from vidil_tpu.models.layers import on_tpu
+
     if use_flash and _flash_profitable(q, k, bias):
-        if interpret or jax.default_backend() == "tpu":
+        if interpret or on_tpu(q):
             return flash_attention(q, k, v, interpret=interpret)
     return dot_product_attention(q, k, v, bias=bias)
