@@ -96,6 +96,14 @@ def hf415_beam_search(prompt: np.ndarray, logits_fn, gen: GenerationConfig) -> n
     while cur_len < gen.max_length:
         logits = logits_fn(input_ids, cur_len).astype(np.float32)
         next_scores = _log_softmax_np(logits)
+        if gen.repetition_penalty != 1.0:  # RepetitionPenaltyLogitsProcessor
+            # v4.15: gather scores at every history token (prompt included),
+            # multiply negatives / divide positives by the penalty, scatter
+            pen = np.float32(gen.repetition_penalty)
+            for row in range(next_scores.shape[0]):
+                toks = np.unique(input_ids[row])
+                s = next_scores[row, toks]
+                next_scores[row, toks] = np.where(s < 0, s * pen, s / pen)
         if cur_len < gen.min_length:  # MinLengthLogitsProcessor
             next_scores[:, gen.eos_token_id] = -np.inf
         next_scores = next_scores + beam_scores.reshape(-1)[:, None]
@@ -241,3 +249,157 @@ def test_oracle_exercises_both_paths():
     # eos never competitive: every row force-added at max_length, no room
     # for the appended eos -> full-length non-eos rows
     assert (forced[:, -1] != PAD).all() and not (forced == EOS).any()
+
+
+def test_fuzz_legacy_beam_vs_hf415_oracle():
+    """60-config fuzz (VERDICT r3 #2): random beam counts, prompt/batch
+    sizes, min/max lengths, length penalties, repetition penalties and eos
+    competitiveness — every config token-identical to the v4.15
+    transcription. Failing configs print their full parameterization."""
+    master = np.random.RandomState(2024)
+    n_cases = 60
+    for case in range(n_cases):
+        seed = int(master.randint(0, 10_000))
+        rng = np.random.RandomState(seed)
+        nb = int(rng.choice([2, 3, 4]))
+        B = int(rng.choice([1, 2, 4]))
+        Lp = int(rng.choice([2, 3, 5]))
+        max_len = int(rng.choice([8, 12, 16, 24]))
+        if max_len <= Lp + 1:
+            max_len = Lp + 4
+        min_len = int(rng.choice([0, Lp + 1, max_len - 2]))
+        lp = float(rng.choice([0.5, 1.0, 1.5, 2.0]))
+        rp = float(rng.choice([1.0, 1.0, 1.1, 1.3]))
+        eos_bias = float(rng.choice([-9.0, 0.0, 1.0, 2.5, 4.0]))
+        label = (f"case={case} seed={seed} nb={nb} B={B} Lp={Lp} "
+                 f"max={max_len} min={min_len} lp={lp} rp={rp} eos={eos_bias}")
+
+        t1, t2, pos = _tables(seed, max_len, eos_bias)
+        prompt = rng.randint(6, VOCAB, size=(B, Lp)).astype(np.int32)
+        gen = GenerationConfig(max_length=max_len, min_length=min_len,
+                               num_beams=nb, eos_token_id=EOS, pad_token_id=PAD,
+                               length_penalty=lp, repetition_penalty=rp,
+                               length_norm="legacy")
+        ref = hf415_beam_search(prompt.astype(np.int64),
+                                _np_logits_fn(t1, t2, pos), gen)
+        cache, prefill_fn, step_fn, reorder_fn = _jax_closures(
+            t1, t2, pos, B * nb, max_len)
+        got, _ = beam_search(jnp.asarray(prompt), cache, prefill_fn,
+                             step_fn, reorder_fn, gen)
+        np.testing.assert_array_equal(np.asarray(got), ref, err_msg=label)
+
+
+def test_fuzz_eos_near_ties():
+    """eos logit EXACTLY equal to a competitor's: identical fp32 inputs give
+    identical log-probs on both sides, so the outcome isolates the rank /
+    tie-break bookkeeping (v4.15 drops eos candidates ranked >= num_beams;
+    ties between eos and non-eos at the same score resolve by top-k index
+    order). 20 crafted-tie configs, token-identical required."""
+    for case in range(20):
+        seed = 5000 + case
+        rng = np.random.RandomState(seed)
+        nb, B, Lp, max_len = 3, 2, 3, 14
+        t1, t2, pos = _tables(seed, max_len, 0.0)
+        # craft exact ties: eos column == column (EOS+1) everywhere
+        t1[:, EOS] = t1[:, EOS + 1]
+        t2[:, EOS] = t2[:, EOS + 1]
+        pos[:, EOS] = pos[:, EOS + 1]
+        prompt = rng.randint(6, VOCAB, size=(B, Lp)).astype(np.int32)
+        gen = GenerationConfig(max_length=max_len, min_length=5, num_beams=nb,
+                               eos_token_id=EOS, pad_token_id=PAD,
+                               length_norm="legacy")
+        ref = hf415_beam_search(prompt.astype(np.int64),
+                                _np_logits_fn(t1, t2, pos), gen)
+        cache, prefill_fn, step_fn, reorder_fn = _jax_closures(
+            t1, t2, pos, B * nb, max_len)
+        got, _ = beam_search(jnp.asarray(prompt), cache, prefill_fn,
+                             step_fn, reorder_fn, gen)
+        np.testing.assert_array_equal(np.asarray(got), ref,
+                                      err_msg=f"tie case {case}")
+
+
+# ---------------------------------------------------------------------------
+# real-model oracle + pinned goldens (VERDICT r3 #2)
+# ---------------------------------------------------------------------------
+
+_CFG_CROSS = None
+
+
+def _cross_cfg():
+    global _CFG_CROSS
+    if _CFG_CROSS is None:
+        from vidil_tpu.config import MedConfig
+
+        _CFG_CROSS = MedConfig(vocab_size=61, hidden_size=32, num_layers=2,
+                               num_heads=4, intermediate_size=64,
+                               max_position_embeddings=64, encoder_width=32)
+    return _CFG_CROSS
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_legacy_beam_real_model_matches_oracle(seed):
+    """blip_generate_ids (the production captioning path: jitted cache
+    decode + legacy beam bookkeeping) vs hf415_beam_search driven by FULL
+    eager forwards of the same MED decoder — the oracle shares no cache or
+    beam code with the engine. Token-identical."""
+    from vidil_tpu.models import med as M
+    from vidil_tpu.models.blip import blip_generate_ids
+
+    cfg = _cross_cfg()
+    params = M.init_med(jax.random.PRNGKey(seed), cfg, with_lm_head=True)
+    rng = np.random.RandomState(seed)
+    B, Lp, nb, max_len = 2, 3, 3, 14
+    prompt = rng.randint(6, cfg.vocab_size, size=(B, Lp)).astype(np.int32)
+    enc = jax.random.normal(jax.random.PRNGKey(seed + 100), (B, 5, cfg.encoder_width))
+    gen = GenerationConfig(max_length=max_len, min_length=5, num_beams=nb,
+                           eos_token_id=EOS, pad_token_id=PAD, length_norm="legacy")
+
+    enc_rep = jnp.repeat(enc, nb, axis=0)
+    enc_mask = jnp.ones((B * nb, enc.shape[1]), jnp.int32)
+
+    def full_forward_logits(seqs, pos):
+        ids = jnp.asarray(seqs[:, :pos].astype(np.int32))
+        hidden = M.med_forward(params, ids, jnp.ones_like(ids), enc_rep, enc_mask,
+                               cfg=cfg, mode="multimodal", is_decoder=True)
+        return np.asarray(M.med_lm_logits(params, hidden[:, -1], cfg), np.float32)
+
+    # oracle VOCAB differs from module constant: monkey-free local run
+    global VOCAB
+    vocab_save = VOCAB
+    VOCAB = cfg.vocab_size
+    try:
+        ref = hf415_beam_search(prompt.astype(np.int64), full_forward_logits, gen)
+    finally:
+        VOCAB = vocab_save
+
+    got = blip_generate_ids({"text_decoder": params}, enc,
+                            jnp.asarray(prompt), cfg, gen)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_legacy_beam_goldens():
+    """Pinned decoded ids from fixed seeds (generated by this repo at the
+    point the real-model oracle test above passed): regression tripwire for
+    any future change to the legacy dialect, cache layout or MED numerics.
+    Seed 21 ends via the hypothesis store near max_length; seed 22 ends via
+    early eos (visible EOS=5 + pad tail)."""
+    from vidil_tpu.models import med as M
+    from vidil_tpu.models.blip import blip_generate_ids
+
+    cfg = _cross_cfg()
+    golden = {
+        21: [[15, 21, 10, 56, 50, 9, 58, 26, 56, 50, 30, 16, 39, 0],
+             [54, 54, 41, 56, 50, 9, 58, 26, 56, 50, 30, 16, 39, 0]],
+        22: [[59, 10, 50, 10, 41, 39, 14, 5, 0, 0, 0, 0, 0, 0],
+             [6, 42, 44, 23, 7, 39, 14, 5, 0, 0, 0, 0, 0, 0]],
+    }
+    for seed, want in golden.items():
+        params = M.init_med(jax.random.PRNGKey(seed), cfg, with_lm_head=True)
+        rng = np.random.RandomState(seed)
+        prompt = jnp.asarray(rng.randint(6, cfg.vocab_size, size=(2, 3)), jnp.int32)
+        enc = jax.random.normal(jax.random.PRNGKey(seed + 100), (2, 5, cfg.encoder_width))
+        gen = GenerationConfig(max_length=14, min_length=5, num_beams=3,
+                               eos_token_id=EOS, pad_token_id=PAD,
+                               length_norm="legacy")
+        ids = blip_generate_ids({"text_decoder": params}, enc, prompt, cfg, gen)
+        assert np.asarray(ids).tolist() == want, f"seed {seed}"
