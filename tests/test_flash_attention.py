@@ -79,19 +79,34 @@ def test_flash_profitable_gate():
     assert not _flash_profitable(q, k, jnp.zeros((1, 1, 577, 577)))
 
 
-def test_flash_custom_vjp_matches_xla_grads(monkeypatch):
-    """flash_attention is differentiable (backward recomputes through the
-    XLA attention); grads must match jax.grad of dot_product_attention.
-    The kernel forward is forced through interpret mode on CPU."""
+def _interpret_kernels(monkeypatch):
     import vidil_tpu.ops.flash_attention as fa
 
-    orig = fa._flash_forward
-    monkeypatch.setattr(fa, "_flash_forward",
-                        lambda q, k, v, interpret=False: orig(q, k, v, interpret=True))
+    fwd, bwd = fa._flash_forward, fa._flash_backward
+    monkeypatch.setattr(
+        fa, "_flash_forward",
+        lambda q, k, v, interpret=False, with_stats=False:
+            fwd(q, k, v, interpret=True, with_stats=with_stats))
+    monkeypatch.setattr(fa, "_flash_backward",
+                        lambda *a, interpret=False: bwd(*a, interpret=True))
+    return fa
+
+
+@pytest.mark.parametrize("B,H,Lq,Lk,D", [
+    (1, 2, 130, 150, 32),    # ragged tail-padded both axes
+    (2, 4, 197, 197, 32),    # ViT-224 trainer shape (downsized heads)
+    (1, 4, 577, 577, 32),    # ViT-384 encode shape
+    (1, 2, 130, 2600, 32),   # KV streaming backward (multiple k blocks)
+])
+def test_flash_custom_vjp_matches_xla_grads(monkeypatch, B, H, Lq, Lk, D):
+    """flash_attention is differentiable via the Pallas backward kernel
+    (dq/dk/dv from saved O + logsumexp); grads must match jax.grad of
+    dot_product_attention. Both kernels forced through interpret mode."""
+    fa = _interpret_kernels(monkeypatch)
     rng = np.random.RandomState(3)
-    q = jnp.asarray(rng.randn(1, 2, 130, 32).astype(np.float32))
-    k = jnp.asarray(rng.randn(1, 2, 150, 32).astype(np.float32))
-    v = jnp.asarray(rng.randn(1, 2, 150, 32).astype(np.float32))
+    q = jnp.asarray(rng.randn(B, H, Lq, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, Lk, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, H, Lk, D).astype(np.float32))
 
     f = lambda q, k, v: jnp.sum(fa.flash_attention(q, k, v) ** 2)
     g = lambda q, k, v: jnp.sum(dot_product_attention(q, k, v) ** 2)
@@ -99,6 +114,63 @@ def test_flash_custom_vjp_matches_xla_grads(monkeypatch):
     gg = jax.grad(g, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gg):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-4)
+
+
+def test_flash_vjp_long_query_falls_back_to_xla(monkeypatch):
+    """Padded query axes beyond one block (>1024) route the backward to
+    the XLA recompute (the Pallas backward accumulates dk/dv in a single
+    q-block program); gradients still match XLA."""
+    fa = _interpret_kernels(monkeypatch)
+    monkeypatch.setattr(
+        fa, "_flash_backward",
+        lambda *a, **kw: (_ for _ in ()).throw(AssertionError("kernel used")))
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(rng.randn(1, 2, 1100, 32).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 2, 140, 32).astype(np.float32))
+    v = jnp.asarray(rng.randn(1, 2, 140, 32).astype(np.float32))
+    f = lambda q, k, v: jnp.sum(fa.flash_attention(q, k, v) ** 2)
+    g = lambda q, k, v: jnp.sum(dot_product_attention(q, k, v) ** 2)
+    gf = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    gg = jax.grad(g, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-4)
+
+
+def test_flash_vjp_bf16_grads(monkeypatch):
+    """bf16 inputs: kernel gradients track XLA's bf16 gradients within a
+    few bf16 ulps (p/ds round to bf16 before their MXU dots, mirroring
+    the forward's p rounding)."""
+    fa = _interpret_kernels(monkeypatch)
+    rng = np.random.RandomState(5)
+    mk = lambda L: jnp.asarray(rng.randn(2, 2, L, 32).astype(np.float32)).astype(jnp.bfloat16)
+    q, k, v = mk(197), mk(197), mk(197)
+    k = k[:, :, :197]
+
+    f = lambda q, k, v: jnp.sum(fa.flash_attention(q, k, v).astype(jnp.float32) ** 2)
+    g = lambda q, k, v: jnp.sum(dot_product_attention(q, k, v).astype(jnp.float32) ** 2)
+    gf = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    gg = jax.grad(g, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gg):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-6)
+        assert np.max(np.abs(a - b)) / scale < 0.02
+
+
+def test_flash_forward_lse_matches_xla(monkeypatch):
+    """The forward kernel's logsumexp rows (saved for the backward) equal
+    the directly-computed logsumexp of the scaled logits."""
+    import vidil_tpu.ops.flash_attention as fa
+
+    rng = np.random.RandomState(6)
+    q = jnp.asarray(rng.randn(2, 3, 130, 32).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 3, 150, 32).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, 3, 150, 32).astype(np.float32))
+    _, lse = fa._flash_forward(q, k, v, interpret=True, with_stats=True)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(32.0)
+    ref = jax.nn.logsumexp(s, axis=-1)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
 
 
 def test_attention_auto_off_tpu_falls_back_to_xla():

@@ -54,7 +54,12 @@ def analytic_train_tflops(B: int, num_frm: int = 4, image_size: int = 224,
 BATCHES = [int(b) for b in os.environ.get("BATCHES", "8,16,32").split(",")]
 ITERS = int(os.environ.get("ITERS", 8))
 NUM_FRM = 4
-IMAGE_SIZE = 224
+# IMAGE_SIZE=384 benches the reference's commented-out 384px retrieval
+# option (configs/train_blip_video_retrieval_*.yaml); USE_FLASH=0 A/Bs the
+# Pallas fwd+bwd attention pair against pure XLA at that size (at 224 the
+# shape gate keeps the kernel off either way).
+IMAGE_SIZE = int(os.environ.get("IMAGE_SIZE", 224))
+USE_FLASH = os.environ.get("USE_FLASH", "1") == "1"
 
 
 def log(msg):
@@ -74,7 +79,8 @@ def main():
         make_retrieval_train_step,
     )
 
-    vit_cfg = ViTConfig.from_name("base", IMAGE_SIZE, remat=True)
+    vit_cfg = ViTConfig.from_name("base", IMAGE_SIZE, remat=True,
+                                  use_flash=USE_FLASH)
     med_cfg = MedConfig(vocab_size=30524)
     log(f"device: {jax.devices()[0]}")
 
@@ -131,6 +137,7 @@ def main():
         emit("retrieval_train_step", {
             "metric": "retrieval_train_step",
             "batch_videos": B, "num_frm": NUM_FRM, "image_size": IMAGE_SIZE,
+            "use_flash": USE_FLASH,
             "s_per_step": round(dt, 4),
             "frames_per_sec": round(B * NUM_FRM / dt, 1),
             "tflops_per_step": round(fl, 2),

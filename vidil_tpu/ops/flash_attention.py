@@ -57,8 +57,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int,
-                  num_heads: int):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, kv_len: int,
+                  block_k: int, num_heads: int):
     """One (batch, q-block) program: all heads, online softmax over K blocks.
 
     q_ref/o_ref: (H, block_q, D);  k_ref/v_ref: (H, kv_padded, D).
@@ -115,8 +115,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, block_k: int,
                                       lambda i, c: step(i, c, None), carry)
         if full_blocks < num_kv_blocks:  # the (single) partially-padded block
             carry = step(full_blocks, carry, tail_bias)
-        _, l, acc = carry
+        m, l, acc = carry
         o_ref[h] = (acc / l).astype(o_ref.dtype)
+        if lse_ref is not None:
+            # logsumexp rows for the backward kernel's softmax
+            # reconstruction (p = exp(s - lse)); only the differentiable
+            # path pays for this output — inference compiles without it
+            lse_ref[h] = (m + jnp.log(l))[:, 0]
 
 
 def flash_attention(q, k, v, interpret: bool = False):
@@ -126,11 +131,12 @@ def flash_attention(q, k, v, interpret: bool = False):
     attends a full all-ones mask); fp32 softmax statistics, bf16 MXU
     matmuls, output in q.dtype.
 
-    Differentiable: the backward recomputes through the XLA attention
-    (numerically the same function to ~1 bf16 ulp), so large-batch
-    training shapes that cross the dispatch gate still train — the
-    kernel forward is what's worth having (the gate only fires where
-    XLA's forward is HBM-bound on spilled logits).
+    Differentiable: a Pallas backward kernel (``_flash_backward``)
+    computes dq/dk/dv from the saved output + logsumexp rows when the
+    whole query axis fits one block (every framework shape: ViT-384's
+    577, train-224's 197); longer-query shapes fall back to recomputing
+    through the XLA attention. Gradients match XLA's to bf16 rounding
+    (tests/test_flash_attention.py pins the tolerance).
     """
     if interpret:  # debug/CPU path, never differentiated
         return _flash_forward(q, k, v, interpret=True)
@@ -143,11 +149,15 @@ def _flash_diff(q, k, v):
 
 
 def _flash_vjp_fwd(q, k, v):
-    return _flash_forward(q, k, v), (q, k, v)
+    o, lse = _flash_forward(q, k, v, with_stats=True)
+    return o, (q, k, v, o, lse)
 
 
 def _flash_vjp_bwd(res, g):
-    q, k, v = res
+    q, k, v, o, lse = res
+    Lq = q.shape[2]
+    if _round_up(Lq, 128) <= 1024:  # single q block: no dk/dv accumulation
+        return _flash_backward(q, k, v, o, lse, g.astype(q.dtype))
     _, vjp = jax.vjp(lambda q, k, v: dot_product_attention(q, k, v), q, k, v)
     return vjp(g.astype(q.dtype))
 
@@ -155,8 +165,127 @@ def _flash_vjp_bwd(res, g):
 _flash_diff.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
+def _flash_bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, g_ref,
+                      dq_ref, dk_ref, dv_ref, *,
+                      kv_len: int, block_k: int, num_heads: int):
+    """One batch item per program, all heads static-unrolled, whole q axis
+    in one block (the framework's shapes: 197/577 padded to 256/640).
+
+    Standard flash backward from saved (o, lse):
+      D  = rowsum(g * o)                (fp32)
+      p  = exp(s - lse)                 (s = q_scaled @ k^T, fp32 stats)
+      dv = p^T @ g
+      dp = g @ v^T
+      ds = p * (dp - D)
+      dq = (ds @ k) * scale ; dk = ds^T @ q_scaled
+    q arrives PRE-scaled (like the forward); the chain rule through that
+    prescale is the trailing *scale on dq. p/ds round to the input dtype
+    before their MXU dots — the same rounding the forward applies to p,
+    so gradients track the kernel's own forward to ~1 bf16 ulp. KV blocks
+    that are entirely real skip masking; the single padded tail block
+    adds the precomputed bias row (p -> 0 there, so padded dk/dv rows
+    stay zero). Padded q rows carry g = 0, zeroing their dk/dv
+    contributions; their dq rows are sliced off outside.
+    """
+    kv_padded = k_ref.shape[1]
+    num_kv_blocks = kv_padded // block_k
+    d = q_ref.shape[2]
+    full_blocks = kv_len // block_k
+
+    tail_bias = None
+    if kv_padded != kv_len:
+        tail_pos = (full_blocks * block_k
+                    + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1))
+        tail_bias = jnp.where(tail_pos < kv_len, 0.0, NEG_INF).astype(jnp.float32)
+
+    for h in range(num_heads):
+        q = q_ref[h]          # (block_q, D) pre-scaled, input dtype
+        g = g_ref[h]          # (block_q, D)
+        o = o_ref[h]
+        lse = lse_ref[h][:, None]  # (block_q, 1) fp32
+        delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)  # (block_q, 1)
+
+        def block(i, dq_acc, bias):
+            k = k_ref[h, pl.ds(i * block_k, block_k), :]
+            v = v_ref[h, pl.ds(i * block_k, block_k), :]
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            if bias is not None:
+                s = s + bias
+            p = jnp.exp(s - lse)                      # fp32 (block_q, block_k)
+            pb = p.astype(v.dtype)
+            dv_ref[h, pl.ds(i * block_k, block_k), :] = jnp.dot(
+                pb.T, g, preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+            dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
+            ds = (p * (dp - delta)).astype(q.dtype)   # rounded for the MXU
+            dk_ref[h, pl.ds(i * block_k, block_k), :] = jnp.dot(
+                ds.T, q, preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+            return dq_acc + jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+        dq_acc = jnp.zeros((q.shape[0], d), jnp.float32)
+        if full_blocks == 1:
+            dq_acc = block(0, dq_acc, None)
+        elif full_blocks > 1:
+            dq_acc = jax.lax.fori_loop(0, full_blocks,
+                                       lambda i, a: block(i, a, None), dq_acc)
+        if full_blocks < num_kv_blocks:
+            dq_acc = block(full_blocks, dq_acc, tail_bias)
+        dq_ref[h] = dq_acc.astype(dq_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _flash_forward(q, k, v, interpret: bool = False):
+def _flash_backward(q, k, v, o, lse, g, interpret: bool = False):
+    """dq/dk/dv via one Pallas pass. Requires the padded query axis to fit
+    a single block (<= 1024); caller falls back to XLA otherwise."""
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    scale = 1.0 / math.sqrt(D)
+    qs = q * jnp.asarray(scale, q.dtype)
+
+    lq_pad = _round_up(Lq, 128)
+    lk_pad = _round_up(Lk, 128)
+    block_k = lk_pad if lk_pad <= 2048 else 512
+    lk_pad = _round_up(lk_pad, block_k)
+
+    if lq_pad != Lq:
+        pad_q = ((0, 0), (0, 0), (0, lq_pad - Lq), (0, 0))
+        qs = jnp.pad(qs, pad_q)
+        o = jnp.pad(o, pad_q)
+        g = jnp.pad(g, pad_q)  # zero g rows zero the padded dk/dv terms
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, lq_pad - Lq)))
+    if lk_pad != Lk:
+        pad_k = ((0, 0), (0, 0), (0, lk_pad - Lk), (0, 0))
+        k = jnp.pad(k, pad_k)
+        v = jnp.pad(v, pad_k)
+
+    grid = (B,)
+    row = lambda b: (b, 0, 0, 0)
+    qspec = pl.BlockSpec((None, H, lq_pad, D), row, memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((None, H, lk_pad, D), row, memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_kernel, kv_len=Lk, block_k=block_k,
+                          num_heads=H),
+        grid=grid,
+        in_specs=[qspec, kspec, kspec, qspec,
+                  pl.BlockSpec((None, H, lq_pad), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  qspec],
+        out_specs=(qspec, kspec, kspec),
+        out_shape=(jax.ShapeDtypeStruct((B, H, lq_pad, D), q.dtype),
+                   jax.ShapeDtypeStruct((B, H, lk_pad, D), k.dtype),
+                   jax.ShapeDtypeStruct((B, H, lk_pad, D), v.dtype)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(qs, k, v, o, lse, g)
+    dq = dq[:, :, :Lq, :] * jnp.asarray(scale, q.dtype)
+    return dq, dk[:, :, :Lk, :], dv[:, :, :Lk, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "with_stats"))
+def _flash_forward(q, k, v, interpret: bool = False, with_stats: bool = False):
+    """with_stats=False (inference): output O only. with_stats=True (the
+    custom-vjp forward): additionally output the fp32 logsumexp rows the
+    Pallas backward consumes — returns (O, lse)."""
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     q = q * jnp.asarray(1.0 / math.sqrt(D), q.dtype)  # pre-scale on (Lq, D)
@@ -183,7 +312,16 @@ def _flash_forward(q, k, v, interpret: bool = False):
     vmem_limit = 96 * 1024 * 1024
 
     grid = (B, lq_pad // block_q)
-    out = pl.pallas_call(
+    o_spec = pl.BlockSpec((None, H, block_q, D), lambda b, i: (b, 0, i, 0),
+                          memory_space=pltpu.VMEM)
+    o_shape = jax.ShapeDtypeStruct((B, H, lq_pad, D), q.dtype)
+    out_specs, out_shape = o_spec, o_shape
+    if with_stats:
+        out_specs = (o_spec, pl.BlockSpec((None, H, block_q),
+                                          lambda b, i: (b, 0, i),
+                                          memory_space=pltpu.VMEM))
+        out_shape = (o_shape, jax.ShapeDtypeStruct((B, H, lq_pad), jnp.float32))
+    res = pl.pallas_call(
         functools.partial(_flash_kernel, kv_len=Lk, block_k=block_k, num_heads=H),
         grid=grid,
         in_specs=[
@@ -194,15 +332,18 @@ def _flash_forward(q, k, v, interpret: bool = False):
             pl.BlockSpec((None, H, lk_pad, D), lambda b, i: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, H, block_q, D), lambda b, i: (b, 0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, lq_pad, D), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(q, k, v)
+    if not with_stats:
+        return res[:, :, :Lq, :] if lq_pad != Lq else res
+    out, lse = res
     if lq_pad != Lq:
         out = out[:, :, :Lq, :]
-    return out
+        lse = lse[:, :, :Lq]
+    return out, lse
 
 
 def _flash_profitable(q, k, bias) -> bool:
