@@ -40,7 +40,9 @@ def main(args, config):
     tokenizer = BlipTokenizer(config["bert_vocab"])
 
     dataset = RetrievalTrainDataset(dict(config), max_words=config.get("max_words", 30))
-    B = config.get("batch_size", 8)
+    from vidil_tpu.train.common import resolve_train_batch
+
+    B = resolve_train_batch(config, "batch_size", 8)
     loader = PrefetchLoader(dataset, B, shuffle=True, drop_last=True, seed=args.seed)
 
     optimizer = make_optimizer(config["init_lr"], config.get("weight_decay", 0.05))

@@ -130,3 +130,63 @@ def test_pretrain_step_and_weight_tying():
     a0 = np.asarray(s0.params["decoder_attn"]["self_attn"]["query"]["kernel"])
     a1 = np.asarray(state.params["decoder_attn"]["self_attn"]["query"]["kernel"])
     assert not np.allclose(a0, a1)
+
+
+def test_training_cfgs_flash_survives_fused_mlp_cleared():
+    """Under autodiff: MED remat forced on, fused-MLP forced off (its VJP
+    recomputes through XLA), but flash attention KEEPS its configured
+    value — the Pallas backward kernel makes it profitable where the
+    forward gate fires (384px), and the gate keeps 224px on XLA anyway."""
+    import dataclasses
+
+    from vidil_tpu.train.common import training_cfgs
+
+    vit = dataclasses.replace(VIT, use_flash=True, use_fused_mlp=True)
+    med = dataclasses.replace(MED, use_fused_mlp=True, remat=False)
+    vit2, med2 = training_cfgs(vit, med)
+    assert vit2.use_flash
+    assert not vit2.use_fused_mlp
+    assert not med2.use_fused_mlp
+    assert med2.remat
+    vit3, _ = training_cfgs(dataclasses.replace(VIT, use_flash=False), MED)
+    assert not vit3.use_flash
+
+
+def test_resolve_train_batch_prefers_tpu_key(capsys):
+    """Shipped train yamls carry a TPU-tuned '<key>_tpu' batch next to the
+    untouched reference key (reference batches starve the chip —
+    ARCHITECTURE.md); the helper prefers it, announces the divergence, and
+    falls back silently when absent/equal (VERDICT r3 #7)."""
+    from vidil_tpu.train.common import resolve_train_batch
+
+    assert resolve_train_batch({"batch_size": 8}, "batch_size") == 8
+    assert capsys.readouterr().out == ""
+    assert resolve_train_batch({"batch_size": 8, "batch_size_tpu": 8},
+                               "batch_size") == 8
+    assert capsys.readouterr().out == ""
+    assert resolve_train_batch({"batch_size": 8, "batch_size_tpu": 64},
+                               "batch_size") == 64
+    assert "init_lr" in capsys.readouterr().out
+    assert resolve_train_batch({}, "batch_size", 16) == 16
+
+
+def test_shipped_train_yamls_carry_tuned_tpu_batch():
+    """Every shipped train yaml keeps the reference batch key AND a tuned
+    _tpu key, so reference hyperparameters stay one deletion away."""
+    import glob
+    import os
+
+    import yaml
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pairs = {"train_blip_video_captioning_*.yaml": ("train_batch_size", 64),
+             "train_blip_video_retrieval_*.yaml": ("batch_size_train", 32),
+             "train_blip_video_vqa_*.yaml": ("batch_size_train", 64),
+             "pretrain_video.yaml": ("batch_size", 64)}
+    for pattern, (key, tuned) in pairs.items():
+        files = glob.glob(os.path.join(repo, "configs", pattern))
+        assert files, pattern
+        for f in files:
+            cfg = yaml.safe_load(open(f))
+            assert key in cfg, (f, key)
+            assert cfg.get(f"{key}_tpu") == tuned, (f, key)

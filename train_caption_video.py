@@ -120,7 +120,10 @@ def main(args, config):
                                       max_img_size=config["image_size"])
     print("train dataset size:", len(train_dataset))
 
-    train_loader = PrefetchLoader(train_dataset, config["train_batch_size"], shuffle=True,
+    from vidil_tpu.train.common import resolve_train_batch
+
+    train_B = resolve_train_batch(config, "train_batch_size")
+    train_loader = PrefetchLoader(train_dataset, train_B, shuffle=True,
                                   drop_last=True, seed=args.seed)
     val_loader = PrefetchLoader(val_dataset, config["test_batch_size"])
     test_loader = PrefetchLoader(test_dataset, config["test_batch_size"])
@@ -168,7 +171,7 @@ def main(args, config):
     mesh = mesh_from_config(config)
     if mesh is not None:
         print(f"training over mesh {dict(mesh.shape)}")
-        assert config["train_batch_size"] % mesh.shape["data"] == 0
+        assert train_B % mesh.shape["data"] == 0
         state = state._replace(params=shard_params(state.params, mesh))
 
     best, best_epoch = 0.0, 0

@@ -78,7 +78,9 @@ def main(args, config):
                                         frm_sampling_strategy="uniform",
                                         max_img_size=config["image_size"])
 
-    B = config["batch_size_train"]
+    from vidil_tpu.train.common import resolve_train_batch
+
+    B = resolve_train_batch(config, "batch_size_train")
     train_loader = PrefetchLoader(train_dataset, B, shuffle=True, drop_last=True, seed=args.seed)
 
     optimizer = make_optimizer(config["init_lr"], config.get("weight_decay", 0.05))

@@ -59,7 +59,10 @@ def main(args, config):
 
     train_dataset = VQADataset(config, split="train")
     test_dataset = VQADataset(config, split="test")
-    train_loader = PrefetchLoader(train_dataset, config.get("batch_size_train", 16),
+    from vidil_tpu.train.common import resolve_train_batch
+
+    train_loader = PrefetchLoader(train_dataset,
+                                  resolve_train_batch(config, "batch_size_train", 16),
                                   shuffle=True, drop_last=True, collate_fn=vqa_collate,
                                   seed=args.seed)
     test_loader = PrefetchLoader(test_dataset, config.get("batch_size_test", 16))
