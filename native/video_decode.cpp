@@ -31,6 +31,7 @@ struct Reader {
   int64_t n_frames = 0;
   double fps = 0.0;
   int64_t next_index = 0;  // index of the next frame receive_frame yields
+  bool no_fwd_seek = false;  // set when keyframes proved too sparse to help
   AVPacket* pkt = nullptr;
   AVFrame* frame = nullptr;
   std::string error;
@@ -75,9 +76,23 @@ int decode_next(Reader* r) {
   }
 }
 
-// position the decoder so the next decoded frame has index `target`
+// position the decoder so the next decoded frame has index `target`.
+//
+// Backward jumps always seek. Forward jumps >= FWD_SEEK_GAP frames also
+// seek (to the keyframe preceding `target`) instead of decoding every
+// intermediate frame — sparse frame sampling (4 of ~120, the pipeline's
+// num_frm pattern) otherwise pays a full-video decode per video
+// (measured 7.5 videos/s on the 1-core host, benchmarks/decode_bench).
+// If the landed keyframe turns out to be BEHIND where we already were
+// (pathologically sparse keyframes), the roll-forward from the keyframe
+// stays correct and `no_fwd_seek` disables further forward seeks for
+// this file.
+constexpr int64_t FWD_SEEK_GAP = 16;
+
 int seek_to(Reader* r, int64_t target) {
-  if (target < r->next_index) {
+  bool fwd = target >= r->next_index + FWD_SEEK_GAP && !r->no_fwd_seek;
+  int64_t prev = r->next_index;
+  if (target < r->next_index || fwd) {
     AVStream* st = r->fmt->streams[r->stream_index];
     double sec = r->fps > 0 ? target / r->fps : 0.0;
     int64_t ts = static_cast<int64_t>(sec / av_q2d(st->time_base));
@@ -94,6 +109,8 @@ int seek_to(Reader* r, int64_t target) {
       if (pts != AV_NOPTS_VALUE && r->fps > 0)
         landed = static_cast<int64_t>(pts * av_q2d(s2->time_base) * r->fps + 0.5);
       r->next_index = landed + 1;
+      if (fwd && landed + FWD_SEEK_GAP < prev)  // keyframes too sparse:
+        r->no_fwd_seek = true;                  // lost ground, stop trying
       if (landed == target) return 1;  // frame already in r->frame
       if (landed > target) {           // overshot: restart from zero
         av_seek_frame(r->fmt, r->stream_index, 0, AVSEEK_FLAG_BACKWARD);
