@@ -30,6 +30,21 @@ R = int(os.environ.get("R", 8))
 K_TEST = int(os.environ.get("K_TEST", 128))
 N_TEXTS = int(os.environ.get("N_TEXTS", 2048))
 IMAGE_SIZE = 384
+V5E_PEAK_BF16_TFLOPS = 197.0
+
+
+def itm_scoring_tflops(L: int, M: int, k: int, med_cfg) -> float:
+    """Analytic matmul FLOPs (2*m*n*k per GEMM) for k grouped ITM
+    scorings over ONE shared M-token memory: per scoring per layer
+    28*L*D^2 (self QKVO + cross Q/out + MLP at I=4D) + 4*L^2*D (self
+    scores+apply) + 4*L*M*D (cross scores+apply), plus the cross-K/V
+    projection 4*M*D^2 paid once per memory per layer (the grouped
+    rerank's whole point). Same accounting as bench.py's CapFilt split."""
+    D, I = med_cfg.hidden_size, med_cfg.intermediate_size
+    per_scoring = (12 * L * D * D + 4 * L * D * I + 4 * L * L * D
+                   + 4 * L * M * D)
+    shared = 4 * M * D * D
+    return med_cfg.num_layers * (shared + k * per_scoring) / 1e12
 
 
 def log(msg):
@@ -135,11 +150,20 @@ def main():
     dt35 = float(np.median(times_scanned))
     dt = float(np.median(times_trimmed))
     n_scorings = FRAMES * K_TEST
+    fl_trim = itm_scoring_tflops(L_TRIM, P, K_TEST, med_cfg) * FRAMES
+    fl_35 = itm_scoring_tflops(35, P, K_TEST, med_cfg) * FRAMES
     emit("blip_tokenization", {
         "metric": "blip_tokenization_itm_rerank_throughput",
         "value": round(FRAMES / dt, 2),
         "unit": "frames/sec/chip",
         "itm_scorings_per_sec": round(n_scorings / dt, 1),
+        "tflops": round(fl_trim, 2),
+        "mfu": round(fl_trim / dt / V5E_PEAK_BF16_TFLOPS, 4),
+        "l35_tflops": round(fl_35, 2),
+        "l35_mfu": round(fl_35 / dt35 / V5E_PEAK_BF16_TFLOPS, 4),
+        "mfu_note": "analytic matmul FLOPs (per-scoring MED pass over the "
+                    "577-token memory + one shared cross-K/V projection "
+                    "per frame) vs bf16 peak",
         "l35_fps": round(FRAMES / dt35, 2),
         "l35_itm_scorings_per_sec": round(n_scorings / dt35, 1),
         "trim_speedup": round(dt35 / dt, 3),

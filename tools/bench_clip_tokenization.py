@@ -27,6 +27,22 @@ FRAMES = int(os.environ.get("FRAMES", 128))
 ITERS = int(os.environ.get("ITERS", 6))
 N_ONTOLOGY = 44437  # vendored vg ontology total (objects+attrs+scenes+verbs)
 IMAGE_SIZE = 224
+V5E_PEAK_BF16_TFLOPS = 197.0
+
+
+def analytic_tflops_per_frame(cfg) -> float:
+    """Analytic matmul FLOPs (2*m*n*k per GEMM, elementwise excluded) for
+    one CLIP image-tower encode + the ontology cosine matmul: per layer
+    24*N*D^2 (QKV/out/MLP GEMMs) + 4*N^2*D (scores + apply), plus the
+    patch-embed conv and the projection/ontology dots. Same accounting as
+    bench.py's CapFilt split (ARCHITECTURE.md "Measured")."""
+    n = (cfg.image_size // cfg.patch_size) ** 2 + 1
+    d = cfg.vision_hidden_size
+    per_layer = 24 * n * d * d + 4 * n * n * d
+    patch = 2 * (n - 1) * d * (3 * cfg.patch_size ** 2)
+    proj = 2 * d * cfg.projection_dim
+    ontology = 2 * N_ONTOLOGY * cfg.projection_dim
+    return (cfg.vision_layers * per_layer + patch + proj + ontology) / 1e12
 
 
 def log(msg):
@@ -87,12 +103,18 @@ def main():
         ts.append(time.perf_counter() - t0)
         log(f"iter {it}: {ts[-1]*1e3:.0f} ms")
     dt = float(np.median(ts))
+    fl = analytic_tflops_per_frame(cfg) * FRAMES
     emit("clip_tokenization", {
         "metric": "clip_tokenization_compute_throughput",
         "value": round(FRAMES / dt, 1),
         "unit": "frames/sec/chip",
         "frames_per_batch": FRAMES, "ontology_texts": N_ONTOLOGY,
         "s_per_batch": round(dt, 4),
+        "tflops_per_batch": round(fl, 2),
+        "mfu": round(fl / dt / V5E_PEAK_BF16_TFLOPS, 4),
+        "mfu_note": "analytic matmul FLOPs vs bf16 peak; the fp32 "
+                    "ontology cosine matmul (HIGHEST precision) is "
+                    "counted at its nominal FLOPs",
         "note": "upload-excluded (device-resident frames); CLI end-to-end "
                 "rate on the dev tunnel is transfer-bound",
         "device": str(jax.devices()[0]),

@@ -36,6 +36,24 @@ K_TEST = int(os.environ.get("K_TEST", 128))
 ROWS = int(os.environ.get("ROWS", 8))
 NUM_FRM = 8
 IMAGE_SIZE = 224
+V5E_PEAK_BF16_TFLOPS = 197.0
+
+
+def rerank_tflops(n: int, k: int, L: int, M: int, med_cfg) -> float:
+    """Analytic matmul FLOPs (2*m*n*k per GEMM) for the two-direction
+    k_test rerank: per scoring per layer 12*L*D^2 (self QKVO + cross
+    Q/out) + 4*L*D*I (MLP) + 4*L^2*D + 4*L*M*D (scores+apply), times
+    2*n*k scorings; plus the shared cross-K/V projection 4*M*D^2 per
+    memory materialization — once per video in v2t (grouped rows), and
+    ~ceil(n*k/G) bucket materializations in t2v (G = min(32, k),
+    full-bucket approximation of _rerank_t2v_bucketed)."""
+    D, I = med_cfg.hidden_size, med_cfg.intermediate_size
+    per_scoring = (12 * L * D * D + 4 * L * D * I + 4 * L * L * D
+                   + 4 * L * M * D)
+    g = min(32, k)
+    kv_mats = n + (n * k + g - 1) // g
+    return med_cfg.num_layers * (kv_mats * 4 * M * D * D
+                                 + 2 * n * k * per_scoring) / 1e12
 
 
 def log(msg):
@@ -121,15 +139,30 @@ def main():
     metrics = itm_eval(score_v2t, score_t2v,
                        txt2vid=list(range(N_VIDEOS)), vid2txt=list(range(N_VIDEOS)))
 
+    L = int(np.asarray(text_ids).shape[1])  # trimmed pad length
+    M = NUM_FRM * ((IMAGE_SIZE // 16) ** 2 + 1)
+    fl = rerank_tflops(N_VIDEOS, min(K_TEST, N_VIDEOS), L, M, med_cfg)
     emit("retrieval_eval", {
         "metric": "retrieval_eval_itm_rerank_throughput",
         "value": round(n_scorings / t_rerank, 1),
         "unit": "ITM scorings/sec/chip",
         "n_videos": N_VIDEOS, "k_test": K_TEST, "num_frm": NUM_FRM,
-        "image_size": IMAGE_SIZE,
-        "cross_attn_memory_tokens": NUM_FRM * ((IMAGE_SIZE // 16) ** 2 + 1),
+        "image_size": IMAGE_SIZE, "text_len_trimmed": L,
+        "rerank_tflops": round(fl, 2),
+        "rerank_mfu": round(fl / t_rerank / V5E_PEAK_BF16_TFLOPS, 4),
+        "mfu_note": "analytic matmul FLOPs vs bf16 peak; cross-K/V "
+                    "materializations counted once per video (v2t) + "
+                    "ceil(n*k/32) buckets (t2v full-bucket approx)",
+        "cross_attn_memory_tokens": M,
         "rerank_s": round(t_rerank, 1),
         "video_feature_fps": round(N_VIDEOS * NUM_FRM / t_video, 1),
+        # ViT-B/224 encode: per frame per layer 24*N*D^2 + 4*N^2*D,
+        # N = 197 tokens (same accounting as bench.py)
+        "video_feature_mfu": round(
+            vit_cfg.num_layers
+            * (24 * 197 * vit_cfg.hidden_size ** 2
+               + 4 * 197 * 197 * vit_cfg.hidden_size)
+            * N_VIDEOS * NUM_FRM / 1e12 / t_video / V5E_PEAK_BF16_TFLOPS, 4),
         "text_feature_s": round(t_text, 1),
         "r_mean_sanity": round(metrics["r_mean"], 2),
         "device": str(jax.devices()[0]),
