@@ -205,10 +205,13 @@ class RetrievalEvaluator:
             return scores
         itm = self._dispatch_blocks(itm_blocks_fn,
                                     np.stack(rows_list), np.stack(topk_list))
-        for b, (rows_arr, topk_idx, real) in enumerate(zip(rows_list, topk_list, reals)):
-            for j in range(real):
-                i = rows_arr[j]
-                scores[i, topk_idx[j]] = itm[b, j] + sims[i][topk_idx[j]]
+        # vectorized scatter (a per-row python loop measured as real host
+        # time at msrvtt scale on a 1-core host); padded rows masked out
+        rows_mat, topk_mat = np.stack(rows_list), np.stack(topk_list)
+        valid = np.arange(R)[None, :] < np.asarray(reals)[:, None]
+        rr = rows_mat[valid]                          # (m,)
+        cc = topk_mat[valid]                          # (m, k)
+        scores[rr[:, None], cc] = itm[valid] + sims[rr[:, None], cc]
         return scores
 
     def _dispatch_blocks(self, blocks_fn, *stacked):
@@ -239,9 +242,16 @@ class RetrievalEvaluator:
         cross-attention (one shared video memory per bucket). Identical
         scores to the row-major t2v rerank — same pairs, same
         itm_logit + sim formula — but the k-fold gather of (Lk, D) video
-        memories never materializes."""
-        from collections import defaultdict
+        memories never materializes.
 
+        Bucket construction and score scatter are vectorized numpy (the
+        n·k python pair loops measured as real host time at msrvtt scale
+        on a 1-core host): a stable argsort of the row-major (text, rank)
+        pairs by video id reproduces exactly the insertion-ordered
+        per-video text lists of the loop formulation (fuzz-verified
+        identical over 200 random shapes), chunks of G within each
+        video's run become the buckets, and pads repeat each chunk's
+        last real element."""
         n_rows, n_cols = sims.shape  # rows = texts, cols = videos
         k = min(self.k_test, n_cols)
         G = max(1, min(32, k))
@@ -251,35 +261,38 @@ class RetrievalEvaluator:
         if start >= end:
             return scores
         topk = np.argsort(sims[start:end], axis=1)[:, ::-1][:, :k]
-        per_video: dict[int, list[int]] = defaultdict(list)
-        for i, r in enumerate(range(start, end)):
-            for c in topk[i]:
-                per_video[int(c)].append(r)
-        bucket_vid, bucket_txt, bucket_real = [], [], []
-        for c in sorted(per_video):
-            rows = per_video[c]
-            for off in range(0, len(rows), G):
-                chunk = rows[off:off + G]
-                bucket_real.append(len(chunk))
-                chunk = chunk + [chunk[-1]] * (G - len(chunk))
-                bucket_vid.append(c)
-                bucket_txt.append(chunk)
+        cols = topk.reshape(-1).astype(np.int64)
+        rows = np.repeat(np.arange(start, end, dtype=np.int64), k)
+        order = np.argsort(cols, kind="stable")
+        cols_s, rows_s = cols[order], rows[order]
+        uniq, starts_u, counts = np.unique(cols_s, return_index=True,
+                                           return_counts=True)
+        nb_per = -(-counts // G)  # buckets per video
+        vid_idx = np.repeat(np.arange(len(uniq)), nb_per)
+        within = np.concatenate([np.arange(n) for n in nb_per])
+        bucket_real = np.minimum(counts[vid_idx] - within * G, G)
+        base = starts_u[vid_idx] + within * G
+        gather = base[:, None] + np.minimum(np.arange(G)[None, :],
+                                            (bucket_real - 1)[:, None])
+        bucket_vid = uniq[vid_idx]
+        bucket_txt = rows_s[gather]  # (nb, G)
         nb = len(bucket_vid)
         pad = (-nb) % R
-        bucket_vid += [bucket_vid[-1]] * pad
-        bucket_txt += [bucket_txt[-1]] * pad
-        bucket_real += [0] * pad
-        vids_b = np.asarray(bucket_vid, np.int32).reshape(-1, R)
-        txts_b = np.asarray(bucket_txt, np.int32).reshape(-1, R, G)
+        if pad:
+            bucket_vid = np.concatenate([bucket_vid,
+                                         np.repeat(bucket_vid[-1:], pad)])
+            bucket_txt = np.concatenate([bucket_txt,
+                                         np.repeat(bucket_txt[-1:], pad, axis=0)])
+        vids_b = bucket_vid.astype(np.int32).reshape(-1, R)
+        txts_b = bucket_txt.astype(np.int32).reshape(-1, R, G)
         itm = self._dispatch_blocks(
             lambda v, t: self._itm_t2v_grouped_blocks(vf, tids, tatts, v, t),
             vids_b, txts_b)
-        flat = itm.reshape(-1, G)
-        for b in range(nb):
-            c = bucket_vid[b]
-            for j in range(bucket_real[b]):
-                r = bucket_txt[b][j]
-                scores[r, c] = flat[b, j] + sims[r, c]
+        flat = itm.reshape(-1, G)[:nb]
+        valid = np.arange(G)[None, :] < bucket_real[:, None]
+        rr = bucket_txt[:nb][valid]
+        cc = np.repeat(bucket_vid[:nb], bucket_real)
+        scores[rr, cc] = flat[valid] + sims[rr, cc]
         return scores
 
     def score_matrices(self, video_feats, video_embeds, text_embeds, text_ids, text_atts):
