@@ -6,7 +6,9 @@
 // minimal C ABI consumed via ctypes (no pybind11 in this environment).
 //
 // Semantics match the python cv2 fallback (vidil_tpu/data/video_reader.py):
-// sequential forward skip between sorted indices, seek on backward jumps.
+// exact frame indexing with sequential skip between nearby sorted indices;
+// keyframe seeks on backward jumps AND forward gaps >= FWD_SEEK_GAP (with a
+// per-file bailout when keyframes prove too sparse or seeks unreliable).
 //
 // Build: tools/build_native.sh
 
@@ -94,11 +96,23 @@ int seek_to(Reader* r, int64_t target) {
   int64_t prev = r->next_index;
   if (target < r->next_index || fwd) {
     AVStream* st = r->fmt->streams[r->stream_index];
+    // frame index <-> stream timestamp honors the stream's start offset:
+    // mp4 edit lists put frame 0 at a nonzero pts, and ignoring it both
+    // mis-targets the seek and mislabels the landed index
+    int64_t start_ts = st->start_time != AV_NOPTS_VALUE ? st->start_time : 0;
     double sec = r->fps > 0 ? target / r->fps : 0.0;
-    int64_t ts = static_cast<int64_t>(sec / av_q2d(st->time_base));
+    int64_t ts = start_ts + static_cast<int64_t>(sec / av_q2d(st->time_base));
     if (av_seek_frame(r->fmt, r->stream_index, ts, AVSEEK_FLAG_BACKWARD) < 0) {
-      av_seek_frame(r->fmt, r->stream_index, 0, AVSEEK_FLAG_BACKWARD);
-      r->next_index = 0;
+      if (fwd) {
+        // unseekable input: stop trying forward seeks for this file and
+        // roll forward from the position we still hold (demuxer unmoved)
+        r->no_fwd_seek = true;
+      } else {
+        if (av_seek_frame(r->fmt, r->stream_index, start_ts,
+                          AVSEEK_FLAG_BACKWARD) < 0) return -1;
+        avcodec_flush_buffers(r->dec);
+        r->next_index = 0;
+      }
     } else {
       avcodec_flush_buffers(r->dec);
       // decode one frame to learn where we landed (keyframe <= target)
@@ -107,13 +121,17 @@ int seek_to(Reader* r, int64_t target) {
       int64_t pts = r->frame->best_effort_timestamp;
       int64_t landed = 0;
       if (pts != AV_NOPTS_VALUE && r->fps > 0)
-        landed = static_cast<int64_t>(pts * av_q2d(s2->time_base) * r->fps + 0.5);
+        landed = static_cast<int64_t>((pts - start_ts) * av_q2d(s2->time_base)
+                                      * r->fps + 0.5);
+      if (landed < 0) landed = 0;
       r->next_index = landed + 1;
       if (fwd && landed + FWD_SEEK_GAP < prev)  // keyframes too sparse:
         r->no_fwd_seek = true;                  // lost ground, stop trying
       if (landed == target) return 1;  // frame already in r->frame
-      if (landed > target) {           // overshot: restart from zero
-        av_seek_frame(r->fmt, r->stream_index, 0, AVSEEK_FLAG_BACKWARD);
+      if (landed > target) {           // overshot (timestamp rounding):
+        if (fwd) r->no_fwd_seek = true;  // don't re-overshoot per index
+        if (av_seek_frame(r->fmt, r->stream_index, start_ts,
+                          AVSEEK_FLAG_BACKWARD) < 0) return -1;
         avcodec_flush_buffers(r->dec);
         r->next_index = 0;
       }

@@ -228,13 +228,16 @@ def test_score_matrices_chunked_dispatch_matches():
 
 
 def test_t2v_bucket_construction_matches_loop_formulation():
-    """The vectorized bucket construction in _rerank_t2v_bucketed (stable
-    argsort of row-major (text, rank) pairs by video id, chunked by G,
-    padded with each chunk's last real element) must reproduce the loop
-    formulation it replaced EXACTLY — bucket order, membership, padding —
-    since bucket layout determines the compiled block shapes and the
-    score scatter. Fuzz over random shard/shape/G combinations."""
+    """The PRODUCTION vectorized bucket construction
+    (evals.retrieval.build_t2v_buckets: stable argsort of row-major
+    (text, rank) pairs by video id, chunked by G, padded with each
+    chunk's last real element) must reproduce the loop formulation it
+    replaced EXACTLY — bucket order, membership, padding — since bucket
+    layout determines the compiled block shapes and the score scatter.
+    Fuzz over random shard/shape/G combinations."""
     from collections import defaultdict
+
+    from vidil_tpu.evals.retrieval import build_t2v_buckets
 
     def loop_buckets(topk, start, end, G):
         per_video = defaultdict(list)
@@ -251,23 +254,6 @@ def test_t2v_bucket_construction_matches_loop_formulation():
                 bt.append(chunk + [chunk[-1]] * (G - len(chunk)))
         return np.array(bv), np.array(bt), np.array(br)
 
-    def vec_buckets(topk, start, end, G):
-        k = topk.shape[1]
-        cols = topk.reshape(-1).astype(np.int64)
-        rows = np.repeat(np.arange(start, end, dtype=np.int64), k)
-        order = np.argsort(cols, kind="stable")
-        cols_s, rows_s = cols[order], rows[order]
-        uniq, starts_u, counts = np.unique(cols_s, return_index=True,
-                                           return_counts=True)
-        nb_per = -(-counts // G)
-        vid_idx = np.repeat(np.arange(len(uniq)), nb_per)
-        within = np.concatenate([np.arange(n) for n in nb_per])
-        bucket_real = np.minimum(counts[vid_idx] - within * G, G)
-        base = starts_u[vid_idx] + within * G
-        gather = base[:, None] + np.minimum(np.arange(G)[None, :],
-                                            (bucket_real - 1)[:, None])
-        return uniq[vid_idx], rows_s[gather], bucket_real
-
     rng = np.random.RandomState(11)
     for _ in range(100):
         n_txt, n_vid = rng.randint(1, 40), rng.randint(1, 30)
@@ -278,7 +264,7 @@ def test_t2v_bucket_construction_matches_loop_formulation():
         sims = rng.randn(n_txt, n_vid)
         topk = np.argsort(sims[start:end], axis=1)[:, ::-1][:, :k]
         for a, b in zip(loop_buckets(topk, start, end, G),
-                        vec_buckets(topk, start, end, G)):
+                        build_t2v_buckets(topk, start, end, G)):
             assert a.shape == b.shape and (a == b).all()
 
 

@@ -89,10 +89,13 @@ def main():
     print(f"# device: {jax.devices()[0]}", flush=True)
     xla = jax.jit(dot_product_attention)
     for name, B, H, Lq, Lk, D in SHAPES:
-        rng = np.random.RandomState(0)
-        q = jnp.asarray(rng.randn(B, H, Lq, D).astype(np.float32), jnp.bfloat16)
-        k = jnp.asarray(rng.randn(B, H, Lk, D).astype(np.float32), jnp.bfloat16)
-        v = jnp.asarray(rng.randn(B, H, Lk, D).astype(np.float32), jnp.bfloat16)
+        # inputs synthesized ON DEVICE: a 113 MB host device_put can hang
+        # >15 min in a tunnel stall trough (CLAUDE.md measurement rule)
+        synth = jax.jit(lambda L, salt: (jnp.sin(
+            jnp.arange(B * H * L * D, dtype=jnp.float32) * 0.219 + salt)
+            .reshape(B, H, L, D)).astype(jnp.bfloat16), static_argnums=0)
+        q, k, v = synth(Lq, 0.0), synth(Lk, 1.0), synth(Lk, 2.0)
+        jax.block_until_ready((q, k, v))
         row = {"shape": name, "B": B, "H": H, "Lq": Lq, "Lk": Lk, "D": D,
                "iters": ITERS}
         row["xla_ms"] = timed_grad(xla, q, k, v)

@@ -13,7 +13,7 @@ needs >= ~42 videos/s (167 f/s / 4 frames) from the feed path.
 
 Run on the host:  python tools/bench_decode.py
 Env: N_VIDEOS (default 24), FRAMES (per video, default 120), RES
-(default 640x480), SECONDS budget per cell (default none).
+(default 640x480).
 """
 
 from __future__ import annotations

@@ -21,6 +21,35 @@ from vidil_tpu.models.layers import linear
 from vidil_tpu.utils import get_rank, get_world_size, shard_range
 
 
+def build_t2v_buckets(topk, start: int, end: int, G: int):
+    """Vectorized per-video text buckets for the t2v rerank.
+
+    topk: (end - start, k) video ids per text row, rank order. Returns
+    (bucket_vid (nb,), bucket_txt (nb, G), bucket_real (nb,)): for each
+    video (ascending id), its texts in insertion order (text-row order,
+    since each text lists a video at most once) chunked into buckets of
+    G, padded with each chunk's last real element. Exactly equal to the
+    loop formulation it replaced — a stable argsort of the row-major
+    (text, rank) pairs by video id preserves the per-video insertion
+    order (fuzz-pinned in tests/test_evals.py); bucket layout determines
+    the compiled block shapes, so equality here is load-bearing."""
+    k = topk.shape[1]
+    cols = topk.reshape(-1).astype(np.int64)
+    rows = np.repeat(np.arange(start, end, dtype=np.int64), k)
+    order = np.argsort(cols, kind="stable")
+    cols_s, rows_s = cols[order], rows[order]
+    uniq, starts_u, counts = np.unique(cols_s, return_index=True,
+                                       return_counts=True)
+    nb_per = -(-counts // G)  # buckets per video
+    vid_idx = np.repeat(np.arange(len(uniq)), nb_per)
+    within = np.concatenate([np.arange(n) for n in nb_per])
+    bucket_real = np.minimum(counts[vid_idx] - within * G, G)
+    base = starts_u[vid_idx] + within * G
+    gather = base[:, None] + np.minimum(np.arange(G)[None, :],
+                                        (bucket_real - 1)[:, None])
+    return uniq[vid_idx], rows_s[gather], bucket_real
+
+
 class RetrievalEvaluator:
     def __init__(self, params, vit_cfg: ViTConfig, med_cfg: MedConfig, tokenizer,
                  k_test: int = 64, dtype=jnp.bfloat16, rows_per_batch: int = 8,
@@ -246,12 +275,10 @@ class RetrievalEvaluator:
 
         Bucket construction and score scatter are vectorized numpy (the
         n·k python pair loops measured as real host time at msrvtt scale
-        on a 1-core host): a stable argsort of the row-major (text, rank)
-        pairs by video id reproduces exactly the insertion-ordered
-        per-video text lists of the loop formulation (fuzz-verified
-        identical over 200 random shapes), chunks of G within each
-        video's run become the buckets, and pads repeat each chunk's
-        last real element."""
+        on a 1-core host): `build_t2v_buckets` reproduces the
+        insertion-ordered loop formulation exactly (fuzz-pinned in
+        tests/test_evals.py), and the scatter uses masked fancy
+        indexing."""
         n_rows, n_cols = sims.shape  # rows = texts, cols = videos
         k = min(self.k_test, n_cols)
         G = max(1, min(32, k))
@@ -261,21 +288,8 @@ class RetrievalEvaluator:
         if start >= end:
             return scores
         topk = np.argsort(sims[start:end], axis=1)[:, ::-1][:, :k]
-        cols = topk.reshape(-1).astype(np.int64)
-        rows = np.repeat(np.arange(start, end, dtype=np.int64), k)
-        order = np.argsort(cols, kind="stable")
-        cols_s, rows_s = cols[order], rows[order]
-        uniq, starts_u, counts = np.unique(cols_s, return_index=True,
-                                           return_counts=True)
-        nb_per = -(-counts // G)  # buckets per video
-        vid_idx = np.repeat(np.arange(len(uniq)), nb_per)
-        within = np.concatenate([np.arange(n) for n in nb_per])
-        bucket_real = np.minimum(counts[vid_idx] - within * G, G)
-        base = starts_u[vid_idx] + within * G
-        gather = base[:, None] + np.minimum(np.arange(G)[None, :],
-                                            (bucket_real - 1)[:, None])
-        bucket_vid = uniq[vid_idx]
-        bucket_txt = rows_s[gather]  # (nb, G)
+        bucket_vid, bucket_txt, bucket_real = build_t2v_buckets(
+            topk, start, end, G)
         nb = len(bucket_vid)
         pad = (-nb) % R
         if pad:

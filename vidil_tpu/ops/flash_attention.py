@@ -155,8 +155,13 @@ def _flash_vjp_fwd(q, k, v):
 
 def _flash_vjp_bwd(res, g):
     q, k, v, o, lse = res
-    Lq = q.shape[2]
-    if _round_up(Lq, 128) <= 1024:  # single q block: no dk/dv accumulation
+    Lq, Lk = q.shape[2], k.shape[2]
+    # Pallas backward needs the whole padded q axis in one block (no dk/dv
+    # accumulation across q blocks) AND k/v/dk/dv all VMEM-resident —
+    # twice the forward's KV footprint — so gate BOTH axes; shapes the
+    # forward kernel handles but the backward can't (very long Lk) fall
+    # back to recomputing through XLA, the pre-kernel behavior.
+    if _round_up(Lq, 128) <= 1024 and _round_up(Lk, 128) <= 8192:
         return _flash_backward(q, k, v, o, lse, g.astype(q.dtype))
     _, vjp = jax.vjp(lambda q, k, v: dot_product_attention(q, k, v), q, k, v)
     return vjp(g.astype(q.dtype))
