@@ -49,6 +49,41 @@ def test_caption_train_step():
     assert losses[-1] < losses[0]  # overfits a fixed tiny batch
 
 
+def test_caption_train_step_remat_policy_variants_agree():
+    """remat policy is scheduling only: the caption step's first-step loss
+    and updated params must match across full-recompute / 'dots' /
+    remat-off (fp32, tiny config — exercises MedConfig.remat_policy via
+    training_cfgs, complementing the ViT-only test in test_vit.py)."""
+    import dataclasses
+
+    opt = make_optimizer(1e-4)
+    params = init_blip_decoder(jax.random.PRNGKey(0), VIT, MED)
+    rng = np.random.RandomState(0)
+    batch = {
+        "video": rng.randn(2, 2, 32, 32, 3).astype(np.float32) * 0.1,
+        "input_ids": rng.randint(6, 64, size=(2, 12)).astype(np.int32),
+        "attention_mask": np.ones((2, 12), np.int32),
+    }
+
+    def one_step(vit_cfg, med_cfg, med_remat):
+        state = create_caption_train_state(params, opt)
+        step = jax.jit(make_caption_train_step(vit_cfg, med_cfg, opt,
+                                               prompt_length=3, med_remat=med_remat))
+        state, m = step(state, batch)
+        return float(m["loss"]), state.params
+
+    ref_loss, ref_params = one_step(dataclasses.replace(VIT, remat=True), MED, True)
+    for vit_cfg, med_cfg, med_remat in [
+        (dataclasses.replace(VIT, remat=True, remat_policy="dots"),
+         dataclasses.replace(MED, remat_policy="dots"), True),
+        (VIT, MED, False),
+    ]:
+        loss, new_params = one_step(vit_cfg, med_cfg, med_remat)
+        np.testing.assert_allclose(loss, ref_loss, rtol=1e-6)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+                     ref_params, new_params)
+
+
 def test_select_frame_itm():
     params = init_blip_itm(jax.random.PRNGKey(1), VIT, MED)
     rng = np.random.RandomState(1)

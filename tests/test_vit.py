@@ -167,6 +167,37 @@ def test_vit_remat_matches_and_grads():
     assert np.isfinite(float(jnp.sum(jnp.abs(g["patch_embed"]["kernel"]))))
 
 
+def test_vit_remat_policy_dots_matches_full_recompute():
+    """remat_policy='dots' (save GEMM outputs, recompute the rest) must be
+    a pure scheduling choice: identical forward AND identical grads vs the
+    recompute-everything policy and vs no remat at all (fp32 so any
+    numerical difference is a real bug, not rounding)."""
+    import dataclasses
+
+    from vidil_tpu.models.layers import remat_policy
+
+    cfg = CFG
+    params = init_vit(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.image_size, cfg.image_size, 3))
+
+    def loss_fn(variant_cfg):
+        def loss(p):
+            return (vit_forward(p, x, variant_cfg) ** 2).sum()
+        return jax.jit(jax.value_and_grad(loss))
+
+    variants = [cfg,
+                dataclasses.replace(cfg, remat=True),
+                dataclasses.replace(cfg, remat=True, remat_policy="dots")]
+    outs = [loss_fn(v)(params) for v in variants]
+    for val, grads in outs[1:]:
+        np.testing.assert_allclose(float(val), float(outs[0][0]), rtol=1e-6)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
+                     outs[0][1], grads)
+
+    with pytest.raises(ValueError):
+        remat_policy("nonsense")
+
+
 def test_load_vit_flax_npz_matches_torch_convert(tmp_path):
     """The Flax-npz loader and the torch converter must agree: export the
     same torch weights into the google vision_transformer npz layout (the

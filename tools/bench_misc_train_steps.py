@@ -16,7 +16,12 @@ pretrain 1 frame), bf16 with remat, params synthesized on device.
 
 Prints one JSON line per step type; artifacts in
 benchmarks/misc_train_steps.jsonl. Env: STEPS (comma list, default all),
-BATCH (default 8), ITERS (default 8).
+BATCH (default 8), ITERS (default 8), REMAT (full | dots | off —
+remat policy A/B: "full" recomputes every layer in the backward (the
+trainer default), "dots" saves plain-GEMM outputs and recomputes only
+attention einsums/elementwise (ViTConfig.remat_policy), "off" saves all
+activations; dots/off trade HBM for skipped recompute FLOPs and may OOM
+at large batches — that is part of what this measures).
 """
 
 from __future__ import annotations
@@ -34,6 +39,13 @@ V5E_PEAK_BF16_TFLOPS = 197.0
 BATCH = int(os.environ.get("BATCH", 8))
 ITERS = int(os.environ.get("ITERS", 8))
 STEPS = os.environ.get("STEPS", "caption,vqa,pretrain").split(",")
+REMAT = os.environ.get("REMAT", "full")
+assert REMAT in ("full", "dots", "off"), REMAT
+# analytic backward factor over one forward: fwd 1x + bwd 2x, plus the
+# full-remat recompute 1x. "dots" skips the GEMM recompute (only the
+# batched attention einsums re-run — excluded like elementwise), "off"
+# recomputes nothing, so both count 3x useful FLOPs.
+BWD_FACTOR = 4 if REMAT == "full" else 3
 IMAGE_SIZE = 224
 NUM_FRM = 4
 VOCAB = 30524
@@ -74,7 +86,7 @@ def caption_tflops(B, num_frm=NUM_FRM, D=768):
     P = (IMAGE_SIZE // 16) ** 2 + 1
     fwd = B * (num_frm * _vit_fwd() + _cross_kv(num_frm * P)
                + _bert_cross(LT, num_frm * P) + _lm_head(LT))
-    return fwd * 4 / 1e12  # fwd + bwd(2x) + remat recompute(1x)
+    return fwd * BWD_FACTOR / 1e12  # fwd + bwd(2x) [+ remat recompute 1x]
 
 
 def vqa_tflops(B, num_frm=NUM_FRM, answers_per_q=2, D=768):
@@ -83,7 +95,7 @@ def vqa_tflops(B, num_frm=NUM_FRM, answers_per_q=2, D=768):
     fwd = (B * (num_frm * _vit_fwd() + _cross_kv(num_frm * P)
                 + _bert_cross(LQ, num_frm * P))
            + A * (_cross_kv(LQ) + _bert_cross(LA, LQ) + _lm_head(LA)))
-    return fwd * 4 / 1e12
+    return fwd * BWD_FACTOR / 1e12
 
 
 def pretrain_tflops(B, D=768):
@@ -94,7 +106,7 @@ def pretrain_tflops(B, D=768):
               # cross K/V from the image memory each forward
               + B * (_cross_kv(P) + _bert_cross(LT, P) + _lm_head(LT)))
     momentum = B * (_vit_fwd() + _bert_self(LT))
-    return (online * 4 + momentum) / 1e12
+    return (online * BWD_FACTOR + momentum) / 1e12
 
 
 def log(msg):
@@ -125,10 +137,13 @@ def main():
     from vidil_tpu.train.retrieval import make_optimizer
     from vidil_tpu.train.vqa import create_vqa_train_state, make_vqa_train_step
 
-    vit_cfg = ViTConfig.from_name("base", IMAGE_SIZE, remat=True)
-    med_cfg = MedConfig(vocab_size=VOCAB)
+    policy = "dots" if REMAT == "dots" else None
+    vit_cfg = ViTConfig.from_name("base", IMAGE_SIZE, remat=(REMAT != "off"),
+                                  remat_policy=policy)
+    med_cfg = MedConfig(vocab_size=VOCAB, remat_policy=policy)
+    med_remat = REMAT != "off"
     opt = make_optimizer(1e-5)
-    log(f"device: {jax.devices()[0]}; batch={BATCH}")
+    log(f"device: {jax.devices()[0]}; batch={BATCH}; remat={REMAT}")
     rng = np.random.RandomState(0)
     B = BATCH
 
@@ -155,7 +170,9 @@ def main():
             "videos_per_sec": round(B / dt, 1),
             "tflops_per_step": round(fl, 2),
             "mfu": round(fl / dt / V5E_PEAK_BF16_TFLOPS, 4),
-            "mfu_note": "analytic matmul FLOPs (fwd+bwd 2x+remat 1x"
+            "remat": REMAT,
+            "mfu_note": "analytic matmul FLOPs (fwd+bwd 2x"
+                        + ("+remat 1x" if REMAT == "full" else ", recompute excluded")
                         + ("+momentum 1x" if name == "pretrain" else "")
                         + ") / measured step time / v5e bf16 peak",
             "device": str(jax.devices()[0]),
@@ -166,7 +183,8 @@ def main():
             init_blip_decoder(jax.random.PRNGKey(0), vit_cfg, med_cfg), opt))
         state = _synth_state(shapes)
         step = jax.jit(make_caption_train_step(vit_cfg, med_cfg, opt, prompt_length=4,
-                                               dtype=jnp.bfloat16), donate_argnums=0)
+                                               dtype=jnp.bfloat16,
+                                               med_remat=med_remat), donate_argnums=0)
         ids = rng.randint(4, VOCAB, size=(B, LT)).astype(np.int32)
         batch = {
             "video": jnp.asarray(rng.randn(B, NUM_FRM, IMAGE_SIZE, IMAGE_SIZE, 3)
@@ -180,7 +198,8 @@ def main():
         shapes = jax.eval_shape(lambda: create_vqa_train_state(
             init_blip_vqa(jax.random.PRNGKey(1), vit_cfg, med_cfg), opt))
         state = _synth_state(shapes)
-        step = jax.jit(make_vqa_train_step(vit_cfg, med_cfg, opt, dtype=jnp.bfloat16),
+        step = jax.jit(make_vqa_train_step(vit_cfg, med_cfg, opt, dtype=jnp.bfloat16,
+                                       med_remat=med_remat),
                        donate_argnums=0)
         A = 2 * B
         batch = {
@@ -200,7 +219,8 @@ def main():
             jax.random.PRNGKey(2), vit_cfg, med_cfg, opt,
             embed_dim=256, queue_size=57600))
         state = _synth_state(shapes)
-        step = jax.jit(make_pretrain_step(vit_cfg, med_cfg, opt, dtype=jnp.bfloat16),
+        step = jax.jit(make_pretrain_step(vit_cfg, med_cfg, opt, dtype=jnp.bfloat16,
+                                      med_remat=med_remat),
                        donate_argnums=0)
         ids = rng.randint(4, VOCAB, size=(B, LT)).astype(np.int32)
         enc, dec = ids.copy(), ids.copy()

@@ -65,6 +65,10 @@ class ViTConfig:
     in_channels: int = 3
     remat: bool = False  # jax.checkpoint on blocks (>= remat_from_layer)
     remat_from_layer: int = 0
+    remat_policy: str | None = None  # None = recompute everything;
+    # "dots" = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    # (save plain-GEMM outputs, recompute attention einsums/elementwise —
+    # trades HBM for ~1x fewer forward GEMM recomputes in the backward)
     use_flash: bool = True  # Pallas flash kernel where measured faster (384px encode);
     # dispatch is shape-aware — small shapes stay on XLA (ops/flash_attention.py)
     use_fused_mlp: bool = False  # Pallas fused MLP (ops/fused_mlp.py): 1.34x
@@ -108,6 +112,7 @@ class MedConfig:
     label_smoothing: float = 0.1
     remat: bool = False  # jax.checkpoint on the scanned layer body
     # (training-time memory/compute trade; train steps enable it)
+    remat_policy: str | None = None  # None / "dots" — see ViTConfig.remat_policy
     use_fused_mlp: bool = False  # Pallas fused MLP: 1.48x ISOLATED on the ITM
     # text shape but a wash in the real grouped-ITM program (±1.4%,
     # tools/ab_encode_mlp.py in_situ phase); kept available, off by default

@@ -21,6 +21,22 @@ import jax
 import jax.numpy as jnp
 
 
+def remat_policy(name):
+    """Resolve a config ``remat_policy`` string to a jax.checkpoint policy.
+
+    None -> recompute everything in the backward (classic remat);
+    "dots" -> ``dots_with_no_batch_dims_saveable``: save plain-GEMM outputs
+    (QKV/proj/MLP linears — their dot_generals carry no batch dims), still
+    recompute the batched attention einsums and elementwise ops. Trades HBM
+    for skipping the GEMM recompute that dominates remat's extra FLOPs.
+    """
+    if name is None:
+        return None
+    if name == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"unknown remat_policy: {name!r}")
+
+
 # ---------------------------------------------------------------------------
 # initializers
 # ---------------------------------------------------------------------------

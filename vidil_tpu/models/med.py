@@ -392,7 +392,9 @@ def med_forward(
             # recompute the layer in the backward instead of saving its
             # activations — the all-layer (L, B, Lq, D) stacks the scan
             # otherwise saves are what blow HBM at large train batches
-            run = jax.checkpoint(run)
+            from .layers import remat_policy
+
+            run = jax.checkpoint(run, policy=remat_policy(cfg.remat_policy))
         out = run(layer, carry)
         return out, None
 

@@ -159,7 +159,10 @@ def vit_forward(params, images, cfg: ViTConfig, dtype=None, return_attn: bool = 
     def body(carry, layer_params):
         fn = block_fn
         if cfg.remat:
-            fn = jax.checkpoint(block_fn, static_argnums=(2, 3, 4))
+            from .layers import remat_policy
+
+            fn = jax.checkpoint(block_fn, static_argnums=(2, 3, 4),
+                                policy=remat_policy(cfg.remat_policy))
         return fn(layer_params, carry, cfg.num_heads, cfg.layer_norm_eps, dtype), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
