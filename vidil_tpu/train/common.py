@@ -18,8 +18,11 @@ def training_cfgs(vit_cfg, med_cfg, med_remat: bool = True):
       longer recomputes through XLA at framework shapes, and the
       forward shape gate (`_flash_profitable`) already keeps the 224px
       trainer shapes (197 tokens) on XLA's fused path — flash only
-      engages at 384px training, where fwd+bwd both measured faster
-      (benchmarks/attention_bwd_sweep.jsonl: 1.84x bwd at 577).
+      engages at 384px training. There the isolated kernel measures
+      1.84x bwd at 577 tokens (benchmarks/attention_bwd_sweep.jsonl)
+      but the full retrieval step is near a wash (+6% at batch 8,
+      -4% at 16, benchmarks/retrieval_train_step.jsonl use_flash
+      rows) — XLA hides much of the isolated win behind adjacent work.
     """
     if med_remat and not med_cfg.remat:
         med_cfg = dataclasses.replace(med_cfg, remat=True)
