@@ -119,6 +119,21 @@ int seek_to(Reader* r, int64_t target) {
       if (decode_next(r) < 0) return -1;
       AVStream* s2 = r->fmt->streams[r->stream_index];
       int64_t pts = r->frame->best_effort_timestamp;
+      if (pts == AV_NOPTS_VALUE && r->fps > 0 && target > 0) {
+        // unknown landing position: counting from here would silently
+        // mislabel every subsequent frame. Rebuild deterministic state
+        // from the start and stop forward-seeking this file.
+        r->no_fwd_seek = true;
+        if (av_seek_frame(r->fmt, r->stream_index, start_ts,
+                          AVSEEK_FLAG_BACKWARD) < 0) return -1;
+        avcodec_flush_buffers(r->dec);
+        r->next_index = 0;
+        while (r->next_index <= target) {
+          if (decode_next(r) < 0) return -1;
+          r->next_index++;
+        }
+        return 1;
+      }
       int64_t landed = 0;
       if (pts != AV_NOPTS_VALUE && r->fps > 0)
         landed = static_cast<int64_t>((pts - start_ts) * av_q2d(s2->time_base)
