@@ -62,7 +62,7 @@ def main(args, config):
         print(f"resumed full train state from {resume_path} at epoch {start_epoch}")
 
     # SPMD over local chips (data_parallel / model_parallel config keys)
-    from vidil_tpu.parallel import shard_params
+    from vidil_tpu.parallel import apply_optimizer_sharding, shard_params
     from vidil_tpu.parallel.mesh import mesh_from_config, shard_batch
 
     mesh = mesh_from_config(config)
@@ -71,6 +71,7 @@ def main(args, config):
         assert B % mesh.shape["data"] == 0
         state = state._replace(params=shard_params(state.params, mesh),
                                params_m=shard_params(state.params_m, mesh))
+        state = apply_optimizer_sharding(state, mesh, config)  # opt-in ZeRO-1
 
     warmup_steps = config.get("warmup_steps", 3000)
     n_per_epoch = len(loader)

@@ -229,6 +229,7 @@ def test_train_retrieval_spmd_mesh(workdir):
         image_size=IMAGE_SIZE, queue_size=16, alpha=0.4, k_test=3,
         negative_all_rank=True, weight_decay=0.05, min_lr=0, max_epoch=1,
         data_parallel=2, model_parallel=2,
+        optimizer_sharding="zero1",  # ZeRO-1 moments over 'data'
     )
     out_dir = str(root / "ret_out_spmd")
     os.makedirs(out_dir, exist_ok=True)

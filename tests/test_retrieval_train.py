@@ -119,6 +119,47 @@ def test_spmd_dp_tp_mesh_matches_single_device(state_and_step):
     assert max(d.values()) < 1e-3
 
 
+def test_spmd_zero1_optimizer_sharding_matches_single_device(state_and_step):
+    """ZeRO-1: with the Adam moments sharded over 'data', a mesh step must
+    produce the same params/metrics as the single-device step, and the
+    moment leaves must actually be distributed (not replicated)."""
+    from jax.sharding import PartitionSpec as P
+
+    from vidil_tpu.parallel.sharding import zero1_partition_spec, zero1_shard_opt_state
+
+    state, step = state_and_step
+    batch = make_batch()
+    rng = jax.random.PRNGKey(7)
+    ref_state, ref_metrics = jax.jit(step)(state, batch, 0.4, rng)
+
+    mesh = make_mesh(data=4, model=2)
+    with mesh:
+        sharded_state = state._replace(
+            params=shard_params(state.params, mesh),
+            opt_state=zero1_shard_opt_state(state.opt_state, state.params, mesh))
+        s1, m1 = jax.jit(step)(sharded_state, shard_batch(mesh, batch), 0.4, rng)
+
+    assert abs(float(m1["loss"]) - float(ref_metrics["loss"])) < 1e-3
+    d = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        jax.device_get(s1.params["text_proj"]), jax.device_get(ref_state.params["text_proj"]),
+    )
+    assert max(d.values()) < 1e-3
+
+    # the specs put 'data' on a real axis of every big leaf, composed with TP
+    specs = zero1_partition_spec(state.params, mesh)
+    flat_specs = jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, P))
+    assert any("data" in (s or ()) for spec in flat_specs for s in spec)
+    # and the INPUT moments were genuinely distributed over the mesh
+    mu_leaves = [x for x in jax.tree.leaves(sharded_state.opt_state)
+                 if hasattr(x, "sharding") and x.ndim >= 2]
+    assert any(not x.sharding.is_fully_replicated for x in mu_leaves)
+    # the step preserved the moment sharding (outputs stay ZeRO-sharded)
+    out_leaves = [x for x in jax.tree.leaves(s1.opt_state)
+                  if hasattr(x, "sharding") and x.ndim >= 2]
+    assert any(not x.sharding.is_fully_replicated for x in out_leaves)
+
+
 def test_partition_spec_rules():
     from jax.sharding import PartitionSpec as P
 

@@ -165,7 +165,7 @@ def main(args, config):
         print(f"resumed full train state from {resume_path} at epoch {start_epoch}")
 
     # SPMD over local chips (data_parallel / model_parallel config keys)
-    from vidil_tpu.parallel import shard_params
+    from vidil_tpu.parallel import apply_optimizer_sharding, shard_params
     from vidil_tpu.parallel.mesh import mesh_from_config, shard_batch
 
     mesh = mesh_from_config(config)
@@ -173,6 +173,7 @@ def main(args, config):
         print(f"training over mesh {dict(mesh.shape)}")
         assert train_B % mesh.shape["data"] == 0
         state = state._replace(params=shard_params(state.params, mesh))
+        state = apply_optimizer_sharding(state, mesh, config)  # opt-in ZeRO-1
 
     best, best_epoch = 0.0, 0
     for epoch in range(start_epoch, config["max_epoch"]):

@@ -105,7 +105,7 @@ def main(args, config):
     # SPMD over local chips: dp batch sharding + optional tp param sharding
     # (config keys data_parallel / model_parallel; the reference's NCCL DDP
     # one-process-per-GPU becomes one jitted program over the mesh)
-    from vidil_tpu.parallel import shard_params
+    from vidil_tpu.parallel import apply_optimizer_sharding, shard_params
     from vidil_tpu.parallel.mesh import mesh_from_config, shard_batch
 
     mesh = mesh_from_config(config)
@@ -114,6 +114,7 @@ def main(args, config):
         assert B % mesh.shape["data"] == 0, "batch_size_train must divide the data axis"
         state = state._replace(params=shard_params(state.params, mesh),
                                params_m=shard_params(state.params_m, mesh))
+        state = apply_optimizer_sharding(state, mesh, config)  # opt-in ZeRO-1
 
     def tokenize(captions):
         enc = tokenizer(captions, padding="max_length", truncation=True, max_length=35)

@@ -90,13 +90,14 @@ def main(args, config):
     # Only 'video'/'question_*' batch entries have the dp-divisible batch
     # dim; answers are ragged (answer_question_index), so shard_batch's
     # divisibility fallback replicates them.
-    from vidil_tpu.parallel import shard_params
+    from vidil_tpu.parallel import apply_optimizer_sharding, shard_params
     from vidil_tpu.parallel.mesh import batch_put, mesh_from_config
 
     mesh = mesh_from_config(config)
     if mesh is not None:
         print(f"training over mesh {dict(mesh.shape)}")
         state = state._replace(params=shard_params(state.params, mesh))
+        state = apply_optimizer_sharding(state, mesh, config)  # opt-in ZeRO-1
 
     for epoch in range(start_epoch, config["max_epoch"]):
         if not args.evaluate:

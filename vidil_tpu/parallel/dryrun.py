@@ -100,16 +100,27 @@ def _train_phase(n_devices: int) -> None:
         "idx": np.arange(B, dtype=np.int32),
     }
 
+    from vidil_tpu.parallel import zero1_shard_opt_state
+
     with mesh:
         sharded = state._replace(params=shard_params(state.params, mesh),
                                  params_m=shard_params(state.params_m, mesh))
-        new_state, metrics = jax.jit(step)(sharded, shard_batch(mesh, batch), 0.4,
-                                           jax.random.PRNGKey(1))
+        # ZeRO-1 optimizer sharding (the CLIs' optimizer_sharding: zero1),
+        # with the CLIs' state donation, so the full production jit path
+        # compiles and executes on the mesh
+        sharded = sharded._replace(opt_state=zero1_shard_opt_state(
+            sharded.opt_state, sharded.params, mesh))
+        new_state, metrics = jax.jit(step, donate_argnums=0)(
+            sharded, shard_batch(mesh, batch), 0.4, jax.random.PRNGKey(1))
         loss = float(metrics["loss"])
+        moment_sharded = any(
+            hasattr(x, "sharding") and x.ndim >= 2 and not x.sharding.is_fully_replicated
+            for x in jax.tree_util.tree_leaves(new_state.opt_state))
     assert np.isfinite(loss), f"non-finite loss: {loss}"
     assert int(new_state.step) == 1
-    print(f"dryrun_multichip({n_devices}) ok: mesh={dict(mesh.shape)} loss={loss:.4f}",
-          flush=True)
+    assert moment_sharded, "ZeRO-1 moments came back replicated"
+    print(f"dryrun_multichip({n_devices}) ok: mesh={dict(mesh.shape)} loss={loss:.4f} "
+          f"(zero1 moments sharded)", flush=True)
 
 
 def _more_train_phases(n_devices: int) -> None:

@@ -88,3 +88,79 @@ def shard_params(params, mesh: Mesh):
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )
+
+
+def zero1_partition_spec(params, mesh: Mesh):
+    """ZeRO-1 specs for OPTIMIZER state shaped like ``params``.
+
+    The reference replicates the full AdamW state per GPU (torch DDP has
+    no optimizer sharding; SURVEY §2c). On a mesh, the moments only feed
+    the elementwise update — they never enter a matmul — so they can live
+    sharded over the 'data' axis: each leaf keeps its TP spec and
+    additionally shards its largest still-unsharded axis that the data
+    axis divides ('data' appears at most once per spec). Cuts per-chip
+    optimizer HBM by ~dp× (≈1.8 GB → 0.45 GB at dp=4 for the base
+    trainers); XLA turns the update into a reduce-scatter(grads) +
+    sharded update + all-gather(delta) — ZeRO-1's schedule.
+    """
+    dp = mesh.shape["data"]
+    tp = mesh.shape.get("model", 1)
+    base = model_partition_spec(params, divisible_by=tp)
+
+    def combine(leaf, spec):
+        entries = list(spec) + [None] * (leaf.ndim - len(spec))
+        if dp > 1:
+            best, best_n = None, 1
+            for ax in range(leaf.ndim):
+                n = leaf.shape[ax]
+                if entries[ax] is None and n % dp == 0 and n > best_n:
+                    best, best_n = ax, n
+            if best is not None:
+                entries[best] = "data"
+        return P(*entries)
+
+    return jax.tree.map(combine, params, base)
+
+
+def zero1_shard_opt_state(opt_state, params, mesh: Mesh):
+    """device_put every params-shaped subtree of an optax state (the Adam
+    mu/nu moment trees) with ``zero1_partition_spec`` shardings; counts,
+    injected hyperparams and other non-params-shaped leaves are left as
+    they are (replicated scalars). Works on any optax state built from
+    NamedTuples / tuples / lists / dicts."""
+    specs = zero1_partition_spec(params, mesh)
+    params_def = jax.tree.structure(params)
+
+    def put(subtree):
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), subtree, specs)
+
+    def rec(node):
+        if jax.tree.structure(node) == params_def:
+            return put(node)
+        if isinstance(node, tuple) and hasattr(node, "_fields"):  # NamedTuple
+            return type(node)(*(rec(c) for c in node))
+        if isinstance(node, (tuple, list)):
+            return type(node)(rec(c) for c in node)
+        if isinstance(node, dict):
+            return {k: rec(v) for k, v in node.items()}
+        return node
+
+    return rec(opt_state)
+
+
+def apply_optimizer_sharding(state, mesh, config: dict):
+    """Trainer-CLI hook: opt-in ZeRO-1 via the ``optimizer_sharding:
+    zero1`` config key. Returns the state with its opt_state moments
+    sharded over 'data' (no-op without a mesh / dp==1 / key absent)."""
+    mode = config.get("optimizer_sharding")
+    if mode in (None, "", "none"):
+        return state
+    if mode != "zero1":
+        raise ValueError(f"unknown optimizer_sharding: {mode!r}")
+    if mesh is None or mesh.shape["data"] <= 1:
+        return state
+    state = state._replace(opt_state=zero1_shard_opt_state(
+        state.opt_state, state.params, mesh))
+    print(f"optimizer state sharded over the data axis (ZeRO-1, dp={mesh.shape['data']})")
+    return state
