@@ -75,6 +75,14 @@ class ViTConfig:
     # ISOLATED at encode shapes but a wash IN SITU (full encode ±1%,
     # tools/ab_encode_mlp.py in_situ phase) — XLA hides the (M,4D) HBM
     # round-trip behind adjacent work; kept available, off by default
+    use_fused_block: bool = False  # whole-layer Pallas kernel
+    # (ops/fused_vit_block.py): LN1->QKV->MHA->proj->res->LN2->MLP->res in
+    # one program, weights VMEM-resident. Candidate successor to the
+    # flash+XLA split for the inference encodes; gated off under remat
+    # (training needs the unfused body) and off-TPU. A/B:
+    # tools/ab_fused_block.py
+    fused_block_frames: int = 1  # frames per fused-block grid program
+    fused_block_interpret: bool = False  # test-only: interpret-mode kernel
 
     @property
     def num_patches(self) -> int:

@@ -153,6 +153,32 @@ def vit_forward(params, images, cfg: ViTConfig, dtype=None, return_attn: bool = 
 
     from functools import partial
 
+    from vidil_tpu.models.layers import on_tpu
+
+    if (cfg.use_fused_block and not cfg.remat
+            and (cfg.fused_block_interpret or on_tpu(x))):
+        # Whole-layer Pallas kernel: pad the token axis to the 128-lane
+        # granularity ONCE, run the full stack on the padded array (pad
+        # rows are masked as keys inside the kernel and stay row-isolated
+        # otherwise), slice after — per-layer padding would re-buy the
+        # HBM copies the fusion removes.
+        from vidil_tpu.ops.fused_vit_block import fused_vit_block
+
+        L = x.shape[1]
+        lp = (L + 127) // 128 * 128
+        xp = jnp.pad(x, ((0, 0), (0, lp - L), (0, 0))) if lp != L else x
+
+        def fused_body(carry, layer_params):
+            out = fused_vit_block(layer_params, carry, cfg.num_heads,
+                                  cfg.layer_norm_eps, true_len=L,
+                                  frames_per_program=cfg.fused_block_frames,
+                                  interpret=cfg.fused_block_interpret)
+            return out, None
+
+        xp, _ = jax.lax.scan(fused_body, xp, params["blocks"])
+        x = xp[:, :L] if lp != L else xp
+        return layer_norm(params["norm"], x, cfg.layer_norm_eps)
+
     block_fn = partial(block_forward, use_flash=cfg.use_flash,
                        use_fused_mlp=cfg.use_fused_mlp)
 
