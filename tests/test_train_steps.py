@@ -187,6 +187,27 @@ def test_training_cfgs_flash_survives_fused_mlp_cleared():
     assert not vit3.use_flash
 
 
+def test_training_cfgs_strips_fused_block(monkeypatch):
+    """The whole-layer fused ViT kernel is inference-only: default-on in
+    ViTConfig (1.25-1.65x on the real-chip encodes, fused_block_ab.jsonl)
+    but a measured 6-7% NEGATIVE inside the autodiff train step
+    (misc_train_steps.jsonl remat=fusedblock rows), so training_cfgs
+    strips it — unless the re-measurement env override is set."""
+    import dataclasses
+
+    from vidil_tpu.config import ViTConfig
+    from vidil_tpu.train.common import training_cfgs
+
+    assert ViTConfig().use_fused_block  # inference default ON
+    monkeypatch.delenv("VIDIL_TPU_TRAIN_FUSED_BLOCK", raising=False)
+    vit = dataclasses.replace(VIT, use_fused_block=True)
+    vit2, _ = training_cfgs(vit, MED)
+    assert not vit2.use_fused_block
+    monkeypatch.setenv("VIDIL_TPU_TRAIN_FUSED_BLOCK", "1")
+    vit3, _ = training_cfgs(vit, MED)
+    assert vit3.use_fused_block
+
+
 def test_resolve_train_batch_prefers_tpu_key(capsys):
     """Shipped train yamls carry a TPU-tuned '<key>_tpu' batch next to the
     untouched reference key (reference batches starve the chip —

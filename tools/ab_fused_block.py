@@ -155,25 +155,26 @@ def _median_readback_ms(fn, args, reps=7):
     return float(np.median(ts) * 1e3)
 
 
-def in_situ(dev, best_frames):
-    """Full ViT-B/384 encode at 256 frames, classic vs fused-block."""
-    F = 256
+def in_situ(dev, best_frames, image_size: int = 384, frames: int = 256):
+    """Full ViT-B encode, classic vs fused-block, at `image_size`."""
+    F = frames
     row = {"phase": "in_situ", "frames": F, "best_frames": best_frames,
-           "device": dev}
+           "image_size": image_size, "device": dev}
     imgs = jax.jit(lambda: (jnp.sin(
-        jnp.arange(F * 384 * 384 * 3, dtype=jnp.float32) * 1e-3)
-        .reshape(F, 384, 384, 3) * 0.5))()
-    base_cfg = ViTConfig.from_name("base", image_size=384)
+        jnp.arange(F * image_size * image_size * 3, dtype=jnp.float32) * 1e-3)
+        .reshape(F, image_size, image_size, 3) * 0.5))()
+    base_cfg = ViTConfig.from_name("base", image_size=image_size,
+                                   use_fused_block=False)
     shapes = jax.eval_shape(lambda: V.init_vit(jax.random.PRNGKey(0), base_cfg))
     params = jax.jit(lambda s=shapes: synth_tree(s))()
     jax.block_until_ready((params, imgs))
     # analytic encode FLOPs: 12 layers + patch embed
-    L, D, Dm, H = 577, 768, 3072, 12
+    L, D, Dm, H = base_cfg.seq_len, 768, 3072, 12
     tflops = 12 * _layer_tflops(F, L, D, Dm, H) \
-        + 2 * F * 576 * (16 * 16 * 3) * D / 1e12
+        + 2 * F * (L - 1) * (16 * 16 * 3) * D / 1e12
     variants = [("classic", base_cfg),
                 ("fused", ViTConfig.from_name(
-                    "base", image_size=384, use_fused_block=True,
+                    "base", image_size=image_size, use_fused_block=True,
                     fused_block_frames=best_frames))]
     for key, cfg in variants:
         enc = jax.jit(lambda p, x, c=cfg: jnp.sum(
@@ -200,12 +201,26 @@ def in_situ(dev, best_frames):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", choices=["all", "isolated", "in_situ"],
+                    default="all")
+    ap.add_argument("--best-frames", type=int, default=None,
+                    help="frames_per_program for in_situ when skipping the "
+                         "isolated sweep (use the recorded best_frames)")
+    ap.add_argument("--image-size", type=int, default=384)
+    ap.add_argument("--frames", type=int, default=256)
+    a = ap.parse_args()
     dev = str(jax.devices()[0])
     log(f"device: {dev}")
-    rtt = _rtt()
-    log(f"readback rtt: {rtt*1e3:.2f} ms")
-    best = isolated(dev, rtt)
-    in_situ(dev, best)
+    best = a.best_frames
+    if a.phase in ("all", "isolated"):
+        rtt = _rtt()
+        log(f"readback rtt: {rtt*1e3:.2f} ms")
+        best = isolated(dev, rtt)
+    if a.phase in ("all", "in_situ"):
+        in_situ(dev, best if best is not None else 8,
+                image_size=a.image_size, frames=a.frames)
 
 
 if __name__ == "__main__":

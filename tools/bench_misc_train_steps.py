@@ -40,12 +40,20 @@ BATCH = int(os.environ.get("BATCH", 8))
 ITERS = int(os.environ.get("ITERS", 8))
 STEPS = os.environ.get("STEPS", "caption,vqa,pretrain").split(",")
 REMAT = os.environ.get("REMAT", "full")
-assert REMAT in ("full", "dots", "off"), REMAT
+assert REMAT in ("full", "dots", "off", "fusedblock"), REMAT
 # analytic backward factor over one forward: fwd 1x + bwd 2x, plus the
 # full-remat recompute 1x. "dots" skips the GEMM recompute (only the
 # batched attention einsums re-run — excluded like elementwise), "off"
-# recomputes nothing, so both count 3x useful FLOPs.
-BWD_FACTOR = 4 if REMAT == "full" else 3
+# recomputes nothing, so both count 3x useful FLOPs. "fusedblock" runs
+# the whole-layer Pallas kernel forward on the ViT (remat off) whose
+# custom-vjp backward recomputes through XLA — same 4x work shape as
+# "full" but with the 1.65x-faster fused forward (tools/ab_fused_block.py);
+# MED keeps its usual remat. Measured negative (caption/vqa 6-7% slower
+# at batch 64) -> training_cfgs strips the flag by default; this mode
+# sets VIDIL_TPU_TRAIN_FUSED_BLOCK=1 to force it for re-measurement.
+BWD_FACTOR = 4 if REMAT in ("full", "fusedblock") else 3
+if REMAT == "fusedblock":
+    os.environ["VIDIL_TPU_TRAIN_FUSED_BLOCK"] = "1"
 IMAGE_SIZE = 224
 NUM_FRM = 4
 VOCAB = 30524
@@ -138,8 +146,10 @@ def main():
     from vidil_tpu.train.vqa import create_vqa_train_state, make_vqa_train_step
 
     policy = "dots" if REMAT == "dots" else None
-    vit_cfg = ViTConfig.from_name("base", IMAGE_SIZE, remat=(REMAT != "off"),
-                                  remat_policy=policy)
+    vit_cfg = ViTConfig.from_name(
+        "base", IMAGE_SIZE, remat=(REMAT in ("full", "dots")),
+        remat_policy=policy, use_fused_block=(REMAT == "fusedblock"),
+        fused_block_frames=8)
     med_cfg = MedConfig(vocab_size=VOCAB, remat_policy=policy)
     med_remat = REMAT != "off"
     opt = make_optimizer(1e-5)

@@ -75,13 +75,18 @@ class ViTConfig:
     # ISOLATED at encode shapes but a wash IN SITU (full encode ±1%,
     # tools/ab_encode_mlp.py in_situ phase) — XLA hides the (M,4D) HBM
     # round-trip behind adjacent work; kept available, off by default
-    use_fused_block: bool = False  # whole-layer Pallas kernel
+    use_fused_block: bool = True  # whole-layer Pallas kernel
     # (ops/fused_vit_block.py): LN1->QKV->MHA->proj->res->LN2->MLP->res in
-    # one program, weights VMEM-resident. Candidate successor to the
-    # flash+XLA split for the inference encodes; gated off under remat
-    # (training needs the unfused body) and off-TPU. A/B:
-    # tools/ab_fused_block.py
-    fused_block_frames: int = 1  # frames per fused-block grid program
+    # one program, weights VMEM-resident. ON by default: measured in situ
+    # on the full ViT-B encode (tools/ab_fused_block.py,
+    # benchmarks/fused_block_ab.jsonl) it beats the flash+XLA split
+    # 1.65x at 384px (467->283 ms / 256 frm, 30.9%->50.9% MFU) and
+    # 1.25x at 224px (144->115 ms, 31.6%->39.6% MFU), output cosine
+    # >=0.9997. Dispatch self-gates: off under remat (training-with-ckpt
+    # needs the unfused body) and off-TPU (models/vit.py). Only ViT-B
+    # shapes are measured; ViT-L runs the same kernel unmeasured.
+    fused_block_frames: int = 8  # frames per fused-block grid program
+    # (isolated sweep: 8 best at 384px, within noise of 4)
     fused_block_interpret: bool = False  # test-only: interpret-mode kernel
 
     @property

@@ -156,7 +156,11 @@ def vit_forward(params, images, cfg: ViTConfig, dtype=None, return_attn: bool = 
     from vidil_tpu.models.layers import on_tpu
 
     if (cfg.use_fused_block and not cfg.remat
+            and cfg.hidden_size % 128 == 0
             and (cfg.fused_block_interpret or on_tpu(x))):
+        # hidden_size gate: the kernel's dots want the 128-lane width
+        # (ViT-B 768 / ViT-L 1024, both measured-or-covered); tiny test
+        # configs (32-64) stay on the classic XLA path.
         # Whole-layer Pallas kernel: pad the token axis to the 128-lane
         # granularity ONCE, run the full stack on the padded array (pad
         # rows are masked as keys inside the kernel and stay row-isolated
