@@ -134,6 +134,15 @@ def main():
     tok = BlipTokenizer(vocab_path)
 
     vit_cfg = ViTConfig.from_name("base", IMAGE_SIZE)
+    # A/B knob: BENCH_FUSED_BLOCK=0 forces the classic flash+XLA encode,
+    # =1 forces the whole-layer Pallas kernel; unset = ViTConfig default.
+    # Used to separate "the fused kernel regressed the chunk program" from
+    # "the chip/tunnel was in a trough" within one session (canary-normalized).
+    if _os.environ.get("BENCH_FUSED_BLOCK"):
+        import dataclasses
+
+        vit_cfg = dataclasses.replace(
+            vit_cfg, use_fused_block=_os.environ["BENCH_FUSED_BLOCK"] == "1")
     med_cfg = MedConfig(vocab_size=tok.vocab_size)
 
     from vidil_tpu.models.blip import init_blip_decoder, init_blip_itm
@@ -350,6 +359,7 @@ def main():
                   f"grouped-KV decode, {TRANSFER} ingest, pipelined upload, fused filter "
                   f"with one chunk in flight (the CLI's schedule; times are steady-state "
                   f"per-chunk, readback+glue overlapped with the next chunk's device work)",
+        "fused_vit_block": vit_cfg.use_fused_block,
         "fused_fallback_videos": engine.fused_fallback_videos,
         "fused_total_videos": engine.fused_total_videos,
         "variance_note": "end_to_end_fps is bounded by the dev tunnel's host->device rate "
