@@ -188,17 +188,19 @@ def test_training_cfgs_flash_survives_fused_mlp_cleared():
 
 
 def test_training_cfgs_strips_fused_block(monkeypatch):
-    """The whole-layer fused ViT kernel is inference-only: default-on in
-    ViTConfig (1.25-1.65x on the real-chip encodes, fused_block_ab.jsonl)
-    but a measured 6-7% NEGATIVE inside the autodiff train step
+    """The whole-layer fused ViT kernel is opt-in (default OFF: it wins
+    encode-only A/Bs but loses the full CapFilt chunk program ~13%
+    canary-normalized — config.py:78) and in any case inference-only: a
+    measured 6-7% NEGATIVE inside the autodiff train step
     (misc_train_steps.jsonl remat=fusedblock rows), so training_cfgs
-    strips it — unless the re-measurement env override is set."""
+    strips it even when a caller opts in — unless the re-measurement env
+    override is set."""
     import dataclasses
 
     from vidil_tpu.config import ViTConfig
     from vidil_tpu.train.common import training_cfgs
 
-    assert ViTConfig().use_fused_block  # inference default ON
+    assert not ViTConfig().use_fused_block  # default OFF (config.py:78)
     monkeypatch.delenv("VIDIL_TPU_TRAIN_FUSED_BLOCK", raising=False)
     vit = dataclasses.replace(VIT, use_fused_block=True)
     vit2, _ = training_cfgs(vit, MED)

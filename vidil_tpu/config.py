@@ -75,18 +75,32 @@ class ViTConfig:
     # ISOLATED at encode shapes but a wash IN SITU (full encode ±1%,
     # tools/ab_encode_mlp.py in_situ phase) — XLA hides the (M,4D) HBM
     # round-trip behind adjacent work; kept available, off by default
-    use_fused_block: bool = True  # whole-layer Pallas kernel
+    use_fused_block: bool = False  # whole-layer Pallas kernel
     # (ops/fused_vit_block.py): LN1->QKV->MHA->proj->res->LN2->MLP->res in
-    # one program, weights VMEM-resident. ON by default: measured in situ
-    # on the full ViT-B encode (tools/ab_fused_block.py,
-    # benchmarks/fused_block_ab.jsonl) it beats the flash+XLA split
-    # 1.65x at 384px (467->283 ms / 256 frm, 30.9%->50.9% MFU) and
-    # 1.25x at 224px (144->115 ms, 31.6%->39.6% MFU), output cosine
-    # >=0.9997. Dispatch self-gates: off under remat (training-with-ckpt
+    # one program, weights VMEM-resident. OFF by default: it wins the
+    # ISOLATED/in-situ encode A/B (1.65x at 384px, 467->283 ms / 256 frm,
+    # 30.9%->50.9% MFU; benchmarks/fused_block_ab.jsonl) but LOSES on the
+    # flagship CapFilt chunk program — the path production runs — by ~13%
+    # canary-normalized (fused-ON 130.5 f/s @ canary 69.2 vs fused-OFF
+    # 167.4 f/s @ canary 76.9, benchmarks/capfilt.jsonl 2026-08-18/19;
+    # see benchmarks/fused_block_chunk_ab.jsonl for the same-session
+    # settle). Opt in per-run via ViTConfig(use_fused_block=True) or
+    # bench.py's BENCH_FUSED_BLOCK=1 where encode-only throughput is the
+    # workload. Dispatch self-gates: off under remat (training-with-ckpt
     # needs the unfused body) and off-TPU (models/vit.py). Only ViT-B
     # shapes are measured; ViT-L runs the same kernel unmeasured.
     fused_block_frames: int = 8  # frames per fused-block grid program
     # (isolated sweep: 8 best at 384px, within noise of 4)
+    use_fused_block_bwd: bool = False  # whole-block Pallas BACKWARD kernel
+    # (ops/fused_vit_block.py _block_bwd_kernel): recomputes the forward
+    # inside VMEM from the saved residual input and emits dx + all 12
+    # param grads in one program — full-remat memory profile without a
+    # jax.checkpoint wrapper, none of the XLA-recompute vjp's HBM
+    # boundaries. Requires use_fused_block; when set, the fused dispatch
+    # runs even under cfg.remat (the kernel IS the remat). Opt-in pending
+    # the train-step A/B (tools/bench_misc_train_steps.py REMAT=fusedbwd).
+    fused_block_bwd_frames: int = 1  # frames per backward grid program
+    # (backward holds ~4x the forward's live VMEM: keep 1 at 384px)
     fused_block_interpret: bool = False  # test-only: interpret-mode kernel
 
     @property
