@@ -34,6 +34,8 @@ from vidil_tpu.utils.bench_artifact import emit
 N_VIDEOS = int(os.environ.get("N_VIDEOS", 1000))
 K_TEST = int(os.environ.get("K_TEST", 128))
 ROWS = int(os.environ.get("ROWS", 8))
+SELF_FOLD = int(os.environ.get("SELF_FOLD", 8))  # texts per block-diagonal
+# self-attention fold in the grouped rerank (1 = the pre-fold layout)
 NUM_FRM = 8
 IMAGE_SIZE = 224
 V5E_PEAK_BF16_TFLOPS = 197.0
@@ -92,7 +94,7 @@ def main():
     log(f"on-device param synth: {time.time()-t:.1f}s")
 
     ev = RetrievalEvaluator(params, vit_cfg, med_cfg, tok, k_test=K_TEST,
-                            rows_per_batch=ROWS)
+                            rows_per_batch=ROWS, self_fold=SELF_FOLD)
 
     # --- text side (1 caption per video, reference identity maps) ---
     rng = np.random.RandomState(0)
@@ -148,6 +150,7 @@ def main():
         "unit": "ITM scorings/sec/chip",
         "n_videos": N_VIDEOS, "k_test": K_TEST, "num_frm": NUM_FRM,
         "image_size": IMAGE_SIZE, "text_len_trimmed": L,
+        "self_fold": SELF_FOLD,
         "rerank_tflops": round(fl, 2),
         "rerank_mfu": round(fl / t_rerank / V5E_PEAK_BF16_TFLOPS, 4),
         "mfu_note": "analytic matmul FLOPs vs bf16 peak; cross-K/V "

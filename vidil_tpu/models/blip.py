@@ -209,19 +209,22 @@ def blip_base_features(params, mode: str, vit_cfg: ViTConfig, med_cfg: MedConfig
 # ---------------------------------------------------------------------------
 
 def blip_itm_scores(params, image_embeds, text_ids, text_mask, med_cfg: MedConfig,
-                    dtype=None, group_size: int = 1):
+                    dtype=None, group_size: int = 1, self_fold: int = 1):
     """ITM head logits over [CLS] of the multimodal encoding.
 
     image_embeds: (N, Lk, D) paired 1:1 with text rows (N, L) — or, with
     group_size=G, (N, Lk, D) paired with (N*G, L) text rows where each
     group of G consecutive texts scores against one image memory without
     replicating it (grouped rerank; the k_test expansion stays virtual).
-    Returns (N[*G], 2) logits; softmax[:, 1] is the match probability.
+    self_fold folds that many consecutive texts into one block-diagonal
+    self-attention sequence (exact; MXU-shaped score GEMMs — see
+    med_forward). Returns (N[*G], 2) logits; softmax[:, 1] is the match
+    probability.
     """
     hidden = M.med_forward(
         params["text_encoder"], text_ids, text_mask,
         encoder_hidden_states=image_embeds, cfg=med_cfg, mode="multimodal",
-        dtype=dtype, group_size=group_size,
+        dtype=dtype, group_size=group_size, self_fold=self_fold,
     )
     return linear(params["itm_head"], hidden[:, 0, :], dtype=dtype).astype(jnp.float32)
 

@@ -349,12 +349,27 @@ def med_forward(
     inputs_embeds=None,
     dtype=None,
     group_size: int = 1,
+    self_fold: int = 1,
 ):
     """BertModel.forward equivalent (reference: models/med.py:670-807).
 
     group_size > 1: input_ids has batch B*group_size while
     encoder_hidden_states has batch B — groups of query rows share one
     cross-attention memory without replicating it (grouped ITM scoring).
+
+    self_fold=F > 1 (encoder modes only): fold F consecutive text rows
+    into one sequence of F*L tokens with a block-diagonal self-attention
+    bias. Numerically EXACT (out-of-block scores carry the NEG_INF
+    additive mask, whose softmax weight underflows to exactly 0.0 in
+    fp32, so per-block probs, denominators and contexts are bitwise those
+    of the unfolded run) while turning the per-text (L x L x Dh)
+    self-attention einsums — L=16-35 rows, far below the 128-lane MXU
+    tile — into (F*L x F*L x Dh) MXU-shaped batches. Everything else in
+    the tower is token-rowwise (LN, projections, MLP) and the grouped
+    cross-attention already folds its group into the query axis, so only
+    the self-attention bias changes. F is clamped to gcd(F, group_size)
+    (each fold must stay inside one cross-attention group) and to a
+    divisor of B.
 
     Returns the last hidden state (B, L, D).
     """
@@ -367,7 +382,32 @@ def med_forward(
 
     if attention_mask is None:
         attention_mask = jnp.ones((B, L), jnp.int32)
-    self_bias = extended_attention_mask(attention_mask, is_decoder)
+
+    fold = 1
+    has_cross = mode == "multimodal" and encoder_hidden_states is not None
+    if self_fold > 1 and not is_decoder:
+        import math as _math
+
+        if has_cross:
+            # each fold must sit inside ONE cross-attention group (the
+            # grouped fold re-derives the same query axis); ungrouped
+            # cross (group_size=1, 1:1 text<->memory rows) cannot fold
+            fold = _math.gcd(self_fold, group_size)
+        else:
+            fold = self_fold
+        while fold > 1 and B % fold:
+            fold -= 1
+    if fold > 1:
+        Bf, Lf = B // fold, fold * L
+        x = x.reshape(Bf, Lf, x.shape[-1])
+        att_f = attention_mask.reshape(Bf, Lf)
+        key_bias = (1.0 - att_f[:, None, None, :].astype(jnp.float32)) * NEG_INF
+        blk = jnp.arange(Lf) // L
+        diag = jnp.where(blk[:, None] == blk[None, :], 0.0, NEG_INF)
+        self_bias = key_bias + diag[None, None]
+        group_size = group_size // fold if group_size > 1 else 1
+    else:
+        self_bias = extended_attention_mask(attention_mask, is_decoder)
 
     use_cross = mode == "multimodal" and encoder_hidden_states is not None
     if use_cross:
@@ -399,6 +439,8 @@ def med_forward(
         return out, None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
+    if fold > 1:
+        x = x.reshape(B, L, x.shape[-1])
     return x
 
 
