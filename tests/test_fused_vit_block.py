@@ -133,6 +133,111 @@ def test_fused_block_gradients_match_xla():
                                    atol=2e-3, rtol=2e-3)
 
 
+@pytest.mark.parametrize("B,L,D,H,BF", [
+    (2, 128, 128, 4, 1),   # exact token block
+    (3, 100, 128, 4, 2),   # pad rows (100 -> 128) + batch pad (3 -> 4)
+    (2, 130, 256, 8, 1),   # 130 -> 256 padding, wider head count
+])
+def test_pallas_backward_kernel_matches_xla_grads(B, L, D, H, BF):
+    """The whole-block Pallas backward (`pallas_bwd=True`, recompute-
+    inside-VMEM) vs direct XLA block gradients — params AND input."""
+    rng = np.random.RandomState(7)
+    params = init_block(jax.random.PRNGKey(7), D, 4 * D)
+    x = jnp.asarray(rng.randn(B, L, D).astype(np.float32) * 0.5)
+    lp = ((L + 127) // 128) * 128
+
+    def loss_fused(p, x_):
+        out = fused_vit_block(p, _pad_tokens(x_, lp), H, EPS, true_len=L,
+                              interpret=True, pallas_bwd=True,
+                              bwd_frames=BF)[:, :L]
+        return jnp.sum(jnp.square(out))
+
+    def loss_ref(p, x_):
+        return jnp.sum(jnp.square(_ref(p, x_, H)))
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(params, x)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    flat_f, tree_f = jax.tree_util.tree_flatten(g_fused)
+    flat_r, _ = jax.tree_util.tree_flatten(g_ref)
+    for gf, gr in zip(flat_f, flat_r):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=2e-3, rtol=2e-3)
+
+
+def test_pallas_backward_matches_xla_recompute_backward():
+    """The two custom-vjp backward strategies must agree tightly (both
+    differentiate the same rounded forward; only the execution engine
+    differs)."""
+    rng = np.random.RandomState(8)
+    params = init_block(jax.random.PRNGKey(8), 128, 512)
+    x = jnp.asarray(rng.randn(2, 128, 128).astype(np.float32) * 0.5)
+
+    def loss(p, x_, pallas_bwd):
+        return jnp.sum(jnp.square(
+            fused_vit_block(p, x_, 4, EPS, true_len=128, interpret=True,
+                            pallas_bwd=pallas_bwd)))
+
+    g_pl = jax.grad(lambda p, x_: loss(p, x_, True), argnums=(0, 1))(params, x)
+    g_xla = jax.grad(lambda p, x_: loss(p, x_, False), argnums=(0, 1))(params, x)
+    for gf, gr in zip(jax.tree_util.tree_leaves(g_pl),
+                      jax.tree_util.tree_leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_pallas_backward_bf16_close():
+    """bf16 runtime grads: same rounding points as the XLA path's vjp,
+    drift bounded by a few bf16 ulps through the residual chain."""
+    rng = np.random.RandomState(9)
+    params = init_block(jax.random.PRNGKey(9), 128, 512)
+    params = jax.tree.map(lambda t: t.astype(jnp.bfloat16)
+                          if t.ndim >= 2 else t, params)
+    x = jnp.asarray(rng.randn(2, 128, 128).astype(np.float32) * 0.5
+                    ).astype(jnp.bfloat16)
+
+    def loss(p, x_, pallas_bwd):
+        return jnp.sum(jnp.square(
+            fused_vit_block(p, x_, 4, EPS, true_len=128, interpret=True,
+                            pallas_bwd=pallas_bwd).astype(jnp.float32)))
+
+    g_pl = jax.grad(lambda p, x_: loss(p, x_, True), argnums=(0, 1))(params, x)
+    g_xla = jax.grad(lambda p, x_: loss(p, x_, False), argnums=(0, 1))(params, x)
+    for gf, gr in zip(jax.tree_util.tree_leaves(g_pl),
+                      jax.tree_util.tree_leaves(g_xla)):
+        gf32 = np.asarray(gf).astype(np.float32)
+        gr32 = np.asarray(gr).astype(np.float32)
+        scale = max(1.0, float(np.abs(gr32).max()))
+        np.testing.assert_allclose(gf32 / scale, gr32 / scale, atol=0.06)
+
+
+def test_vit_forward_fused_bwd_under_remat_cfg():
+    """use_fused_block_bwd keeps the fused dispatch even with cfg.remat set
+    (the kernel pair is its own remat schedule); gradients must match the
+    classic remat path."""
+    from vidil_tpu.config import ViTConfig
+    from vidil_tpu.models.vit import init_vit, vit_forward
+
+    kw = dict(image_size=48, patch_size=16, hidden_size=128,
+              num_layers=2, num_heads=4)
+    cfg_classic = ViTConfig(remat=True, **kw)
+    cfg_fused = ViTConfig(remat=True, use_fused_block=True,
+                          use_fused_block_bwd=True,
+                          fused_block_interpret=True, **kw)
+    params = init_vit(jax.random.PRNGKey(10), cfg_classic)
+    rng = np.random.RandomState(10)
+    imgs = jnp.asarray(rng.randn(2, 48, 48, 3).astype(np.float32) * 0.3)
+
+    def loss(p, cfg):
+        return jnp.sum(jnp.square(vit_forward(p, imgs, cfg)))
+
+    g_classic = jax.grad(lambda p: loss(p, cfg_classic))(params)
+    g_fused = jax.grad(lambda p: loss(p, cfg_fused))(params)
+    for gf, gr in zip(jax.tree_util.tree_leaves(g_fused),
+                      jax.tree_util.tree_leaves(g_classic)):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=2e-3, rtol=2e-3)
+
+
 def test_vit_forward_fused_branch_matches_classic():
     """The vit_forward fused-block branch (pad-once -> scanned kernel ->
     slice -> final LN) must match the classic scan path."""

@@ -40,7 +40,7 @@ BATCH = int(os.environ.get("BATCH", 8))
 ITERS = int(os.environ.get("ITERS", 8))
 STEPS = os.environ.get("STEPS", "caption,vqa,pretrain").split(",")
 REMAT = os.environ.get("REMAT", "full")
-assert REMAT in ("full", "dots", "off", "fusedblock"), REMAT
+assert REMAT in ("full", "dots", "off", "fusedblock", "fusedbwd"), REMAT
 # analytic backward factor over one forward: fwd 1x + bwd 2x, plus the
 # full-remat recompute 1x. "dots" skips the GEMM recompute (only the
 # batched attention einsums re-run — excluded like elementwise), "off"
@@ -51,7 +51,11 @@ assert REMAT in ("full", "dots", "off", "fusedblock"), REMAT
 # MED keeps its usual remat. Measured negative (caption/vqa 6-7% slower
 # at batch 64) -> training_cfgs strips the flag by default; this mode
 # sets VIDIL_TPU_TRAIN_FUSED_BLOCK=1 to force it for re-measurement.
-BWD_FACTOR = 4 if REMAT in ("full", "fusedblock") else 3
+# "fusedbwd" runs the fused forward + the whole-block Pallas BACKWARD
+# kernel (ops/fused_vit_block._block_bwd_kernel): the recompute happens
+# INSIDE the backward kernel from VMEM (same 4x work shape as "full",
+# none of the XLA-recompute HBM boundaries that made "fusedblock" lose).
+BWD_FACTOR = 4 if REMAT in ("full", "fusedblock", "fusedbwd") else 3
 if REMAT == "fusedblock":
     os.environ["VIDIL_TPU_TRAIN_FUSED_BLOCK"] = "1"
 IMAGE_SIZE = 224
@@ -148,8 +152,11 @@ def main():
     policy = "dots" if REMAT == "dots" else None
     vit_cfg = ViTConfig.from_name(
         "base", IMAGE_SIZE, remat=(REMAT in ("full", "dots")),
-        remat_policy=policy, use_fused_block=(REMAT == "fusedblock"),
-        fused_block_frames=8)
+        remat_policy=policy,
+        use_fused_block=(REMAT in ("fusedblock", "fusedbwd")),
+        use_fused_block_bwd=(REMAT == "fusedbwd"),
+        fused_block_frames=8,
+        fused_block_bwd_frames=int(os.environ.get("BWD_FRAMES", 1)))
     med_cfg = MedConfig(vocab_size=VOCAB, remat_policy=policy)
     med_remat = REMAT != "off"
     opt = make_optimizer(1e-5)
@@ -182,7 +189,7 @@ def main():
             "mfu": round(fl / dt / V5E_PEAK_BF16_TFLOPS, 4),
             "remat": REMAT,
             "mfu_note": "analytic matmul FLOPs (fwd+bwd 2x"
-                        + ("+remat 1x" if REMAT == "full" else ", recompute excluded")
+                        + ("+recompute 1x" if BWD_FACTOR == 4 else ", recompute excluded")
                         + ("+momentum 1x" if name == "pretrain" else "")
                         + ") / measured step time / v5e bf16 peak",
             "device": str(jax.devices()[0]),

@@ -155,12 +155,19 @@ def vit_forward(params, images, cfg: ViTConfig, dtype=None, return_attn: bool = 
 
     from vidil_tpu.models.layers import on_tpu
 
-    if (cfg.use_fused_block and not cfg.remat
+    if (cfg.use_fused_block
+            and (not cfg.remat or cfg.use_fused_block_bwd)
             and cfg.hidden_size % 128 == 0
             and (cfg.fused_block_interpret or on_tpu(x))):
         # hidden_size gate: the kernel's dots want the 128-lane width
         # (ViT-B 768 / ViT-L 1024, both measured-or-covered); tiny test
         # configs (32-64) stay on the classic XLA path.
+        # remat gate: the plain fused forward's vjp recomputes through XLA
+        # (measured negative under autodiff), so training shapes need the
+        # unfused body — UNLESS the Pallas backward kernel is enabled, in
+        # which case the kernel pair is its own full-remat schedule (only
+        # x saved per layer, recompute inside VMEM) and runs without a
+        # jax.checkpoint wrapper.
         # Whole-layer Pallas kernel: pad the token axis to the 128-lane
         # granularity ONCE, run the full stack on the padded array (pad
         # rows are masked as keys inside the kernel and stay row-isolated
@@ -176,7 +183,9 @@ def vit_forward(params, images, cfg: ViTConfig, dtype=None, return_attn: bool = 
             out = fused_vit_block(layer_params, carry, cfg.num_heads,
                                   cfg.layer_norm_eps, true_len=L,
                                   frames_per_program=cfg.fused_block_frames,
-                                  interpret=cfg.fused_block_interpret)
+                                  interpret=cfg.fused_block_interpret,
+                                  pallas_bwd=cfg.use_fused_block_bwd,
+                                  bwd_frames=cfg.fused_block_bwd_frames)
             return out, None
 
         xp, _ = jax.lax.scan(fused_body, xp, params["blocks"])

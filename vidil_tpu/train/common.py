@@ -32,16 +32,21 @@ def training_cfgs(vit_cfg, med_cfg, med_remat: bool = True):
         med_cfg = dataclasses.replace(med_cfg, use_fused_mlp=False)
     import os
     if (vit_cfg.use_fused_block
+            and not vit_cfg.use_fused_block_bwd
             and os.environ.get("VIDIL_TPU_TRAIN_FUSED_BLOCK") != "1"):
-        # Whole-layer fused ViT kernel OFF under autodiff: measured
-        # negative on the real chip — its custom-vjp backward recomputes
-        # the block through XLA as one chunk, and the caption/VQA steps
-        # run 6-7% SLOWER than the classic remat-full schedule
-        # (batch 64: caption 0.621 vs 0.578 s/step, vqa 0.653 vs 0.614;
-        # benchmarks/misc_train_steps.jsonl remat=fusedblock rows).
+        # Whole-layer fused ViT kernel (forward-only form) OFF under
+        # autodiff: measured negative on the real chip — its custom-vjp
+        # backward recomputes the block through XLA as one chunk, and the
+        # caption/VQA steps run 6-7% SLOWER than the classic remat-full
+        # schedule (batch 64: caption 0.621 vs 0.578 s/step, vqa 0.653 vs
+        # 0.614; benchmarks/misc_train_steps.jsonl remat=fusedblock rows).
         # Inference encodes keep it (1.25-1.65x, fused_block_ab.jsonl).
-        # Re-measure via VIDIL_TPU_TRAIN_FUSED_BLOCK=1 (the
-        # REMAT=fusedblock mode of tools/bench_misc_train_steps.py).
+        # With use_fused_block_bwd the backward is the whole-block Pallas
+        # kernel (recompute-inside-VMEM, no XLA recompute) and the fused
+        # pair stays on for training — see the REMAT=fusedbwd mode of
+        # tools/bench_misc_train_steps.py for the measured step times.
+        # Re-measure the forward-only form via VIDIL_TPU_TRAIN_FUSED_BLOCK=1
+        # (the REMAT=fusedblock mode of the same tool).
         vit_cfg = dataclasses.replace(vit_cfg, use_fused_block=False)
     return vit_cfg, med_cfg
 
