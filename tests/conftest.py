@@ -39,3 +39,34 @@ if os.path.exists(_so) and any(
     subprocess.run(["bash", os.path.join(_root, "tools", "build_native.sh")], check=True)
     assert all(os.path.getmtime(_so) >= os.path.getmtime(p) for p in _inputs if os.path.exists(p)), \
         "native rebuild did not refresh libvidil_decode.so"
+
+
+# ---------------------------------------------------------------------------
+# Fast/slow tiers (VERDICT r4 #6). The full suite is ~38 min on this 1-core
+# host; the multi-minute fuzz/CLI/subprocess tests carry @pytest.mark.slow
+# and are DESELECTED by default so `pytest -q` stays a fast pre-commit gate.
+# Run the slow tier with `pytest --slow` (everything) before commits that
+# touch the paths it exercises, or `pytest -m slow --slow` for just the
+# slow tests. CI/driver full runs: `pytest --slow`.
+# ---------------------------------------------------------------------------
+import pytest
+
+
+def pytest_addoption(parser):
+    parser.addoption("--slow", action="store_true", default=False,
+                     help="also run tests marked slow (full ~38 min suite)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute fuzz/CLI/subprocess test; "
+        "deselected unless --slow (or VIDIL_SLOW=1)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow") or os.environ.get("VIDIL_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow tier: run with --slow / VIDIL_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

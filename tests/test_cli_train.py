@@ -17,6 +17,8 @@ from vidil_tpu.tokenizer import BlipTokenizer, write_test_vocab
 VIT_KW = dict(patch_size=16, hidden_size=32, num_layers=2, num_heads=4)
 IMAGE_SIZE = 32
 
+pytestmark = pytest.mark.slow  # every test here spawns full CLI mains (51-159s each, /tmp/pytest_durations.log)
+
 
 @pytest.fixture(scope="module")
 def workdir(tmp_path_factory):

@@ -128,6 +128,7 @@ def test_itm_eval_perfect_and_random():
     assert m2["r_mean"] < metrics["r_mean"]
 
 
+@pytest.mark.slow
 def test_score_matrices_matches_bruteforce():
     """RetrievalEvaluator's blocked on-device rerank must equal a
     per-pair brute-force ITM computation."""

@@ -185,6 +185,7 @@ def test_pallas_backward_matches_xla_recompute_backward():
                                    atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_pallas_backward_bf16_close():
     """bf16 runtime grads: same rounding points as the XLA path's vjp,
     drift bounded by a few bf16 ulps through the residual chain."""

@@ -251,6 +251,7 @@ def test_oracle_exercises_both_paths():
     assert (forced[:, -1] != PAD).all() and not (forced == EOS).any()
 
 
+@pytest.mark.slow
 def test_fuzz_legacy_beam_vs_hf415_oracle():
     """60-config fuzz (VERDICT r3 #2): random beam counts, prompt/batch
     sizes, min/max lengths, length penalties, repetition penalties and eos
@@ -289,6 +290,7 @@ def test_fuzz_legacy_beam_vs_hf415_oracle():
         np.testing.assert_array_equal(np.asarray(got), ref, err_msg=label)
 
 
+@pytest.mark.slow
 def test_fuzz_eos_near_ties():
     """eos logit EXACTLY equal to a competitor's: identical fp32 inputs give
     identical log-probs on both sides, so the outcome isolates the rank /
@@ -336,6 +338,7 @@ def _cross_cfg():
     return _CFG_CROSS
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [21, 22])
 def test_legacy_beam_real_model_matches_oracle(seed):
     """blip_generate_ids (the production captioning path: jitted cache

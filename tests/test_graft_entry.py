@@ -24,6 +24,7 @@ sys.path.insert(0, REPO)
 import __graft_entry__  # noqa: E402
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_survives_initialized_parent_backend():
     # Initialize the parent's backend BEFORE the dryrun (conftest pins
     # CPU here; at driver time this would be the tunneled TPU). The
@@ -33,6 +34,7 @@ def test_dryrun_multichip_survives_initialized_parent_backend():
     __graft_entry__.dryrun_multichip(4)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_ignores_hostile_parent_env():
     # A parent env pinning the WRONG virtual device count (1) must be
     # scrubbed by the parent wrapper before spawning the child.

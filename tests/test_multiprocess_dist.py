@@ -153,6 +153,7 @@ utils.barrier()
 """
 
 
+@pytest.mark.slow
 def test_two_process_retrieval_eval_merge(tmp_path):
     """Rank-sharded rerank + process_allgather merge (the reference's
     all_reduce of the score matrices, train_retrieval_video.py:183-186)

@@ -376,6 +376,7 @@ def test_full_chain_vlep(ws):
     assert [json.loads(l)["example_id"] for l in open(pred_path)] == [10, 11]
 
 
+@pytest.mark.slow
 def test_full_chain_pseudo_label_training(ws):
     """Closes the last inter-stage contract: processed GPT-3 responses ->
     pseudo-label jsonl (utils_gpt3 video_level_only) -> retrieval

@@ -79,6 +79,7 @@ def test_queue_wraparound():
     np.testing.assert_allclose(np.asarray(q.image[:, 8:16]), 2.0)
 
 
+@pytest.mark.slow
 def test_momentum_params_track():
     opt = make_optimizer(1e-2)
     state = create_train_state(jax.random.PRNGKey(0), VIT, MED, opt,
@@ -95,6 +96,7 @@ def test_momentum_params_track():
     assert not np.allclose(pm, p)  # but lagging
 
 
+@pytest.mark.slow
 def test_spmd_dp_tp_mesh_matches_single_device(state_and_step):
     """One step on a 4x2 (data x model) mesh == single-device step."""
     state, step = state_and_step
@@ -119,6 +121,7 @@ def test_spmd_dp_tp_mesh_matches_single_device(state_and_step):
     assert max(d.values()) < 1e-3
 
 
+@pytest.mark.slow
 def test_spmd_zero1_optimizer_sharding_matches_single_device(state_and_step):
     """ZeRO-1: with the Adam moments sharded over 'data', a mesh step must
     produce the same params/metrics as the single-device step, and the

@@ -49,6 +49,7 @@ def test_caption_train_step():
     assert losses[-1] < losses[0]  # overfits a fixed tiny batch
 
 
+@pytest.mark.slow
 def test_caption_train_step_remat_policy_variants_agree():
     """remat policy is scheduling only: the caption step's first-step loss
     and updated params must match across full-recompute / 'dots' /
@@ -94,6 +95,7 @@ def test_select_frame_itm():
     assert 0 <= idx < 3
 
 
+@pytest.mark.slow
 def test_vqa_train_step_and_inference():
     opt = make_optimizer(1e-4)
     params = init_blip_vqa(jax.random.PRNGKey(2), VIT, MED)

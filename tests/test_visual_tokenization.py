@@ -269,6 +269,7 @@ def test_cli_youcook2_yaml_end_to_end(clip_workdir, monkeypatch):
             assert len(ft[key]) == config["topk_visualize"]
 
 
+@pytest.mark.slow
 def test_cli_vg_ontology_end_to_end(clip_workdir, monkeypatch):
     """ontology: vg runs out of the box on the vendored real term lists —
     including from a non-repo cwd (repo-root fallback for ontology_root)."""
