@@ -146,6 +146,10 @@ def main():
                          image_size=IMAGE_SIZE, vocab=tok.vocab_size,
                          dec_steps=20 - engine.prompt_length)
 
+    if os.environ.get("PROF_DECODE") == "1":
+        _decode_probe(engine, cap, fil, tok, vit_cfg, med_cfg, cap_embeds,
+                      timed)
+
     if os.environ.get("PROF_TRACE"):
         with __import__("jax").profiler.trace(os.environ["PROF_TRACE"]):
             run_caption()
@@ -176,6 +180,151 @@ def main():
         "note": "vit_encode timed as one pass and doubled (captioner+filterer "
                 "passes are the same program shape); decode = caption minus "
                 "encode; readback-closed timings on the axon tunnel",
+    })
+
+
+def _decode_probe(engine, cap, fil, tok, vit_cfg, med_cfg, cap_embeds, timed):
+    """PROF_DECODE=1: split the beam-decode phase (the second-largest
+    program after encode) into named per-step shares.
+
+    (a) step slope: a second engine at max_length=12 reuses the same
+        params; both dialects run a FIXED step count here (early_exit
+        off), so slope = (t20 - t12) / (steps20 - steps12) is the cost of
+        one decode step and fixed = t20 - steps20*slope is prefill +
+        final gather/readback glue.
+    (b) bare component programs at the exact step shapes, each timed with
+        the data-dependent chained-reps pattern (tools/bench_attention.py
+        rationale: axon readback RTT ~30 ms must be amortized): the
+        LM-head GEMM (rows x D @ D x vocab — reference models/med.py's
+        cls head at vocab 30524), the fp32 log_softmax over the vocab,
+        and the (B, nb*V) -> 2nb top_k beam select.
+    residual = step - (lm_head + log_softmax + top_k) is the cached
+    transformer step (self-attn append + cross-attn over the 577-patch
+    memory + MLP) plus beam bookkeeping. Emits one capfilt_decode_probe
+    row naming the dominant share."""
+    import jax
+    import jax.numpy as jnp
+
+    from vidil_tpu.pipeline.capfilt import CapFiltEngine
+    from vidil_tpu.utils.bench_artifact import emit
+
+    nb = engine.gen_beam.num_beams
+    L20 = engine.gen_beam.max_length
+    L12 = 12
+    steps20 = L20 - engine.prompt_length
+    steps12 = L12 - engine.prompt_length
+    B_seq = int(cap_embeds.shape[0])        # sequences (one per frame)
+    rows = B_seq * nb                        # beam-flattened rows
+    D = med_cfg.hidden_size
+    V = tok.vocab_size
+
+    log("decode probe: building max_length=12 twin engine (shared params)")
+    engine12 = CapFiltEngine(
+        cap, fil, tok, vit_cfg, med_cfg, num_beams=nb, max_length=L12,
+        min_length=min(engine.gen_beam.min_length, L12 - engine.prompt_length - 1),
+        dtype=engine.dtype, beam_group_kv=True, early_exit=False)
+
+    rng = jax.random.PRNGKey(0)
+    close = lambda out: float(jnp.sum(out[0].astype(jnp.float32)))
+    t20 = timed(lambda: engine.generate_beam(cap_embeds, rng), close,
+                f"generate_beam(L={L20})")
+    t12 = timed(lambda: engine12.generate_beam(cap_embeds, rng), close,
+                f"generate_beam(L={L12})")
+    slope = max(t20 - t12, 0.0) / max(steps20 - steps12, 1)
+    fixed = max(t20 - steps20 * slope, 0.0)
+
+    # --- bare per-step components, chained-reps timing ------------------
+    CH = 20
+
+    def rtt_ms():
+        one = jnp.zeros((), jnp.float32)
+        f = jax.jit(lambda x: x + 1.0)
+        float(f(one))
+        import time as _time
+
+        ts = []
+        for _ in range(7):
+            t0 = _time.perf_counter()
+            float(f(one))
+            ts.append(_time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    rtt = rtt_ms()
+    log(f"decode probe: readback rtt {rtt*1e3:.1f} ms")
+
+    def chained_ms(make_body, x0, label):
+        import time as _time
+
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                return make_body(c), ()
+
+            out, _ = jax.lax.scan(body, x, None, length=CH)
+            return jnp.sum(
+                out.astype(jnp.float32) if out.dtype != jnp.float32 else out)
+
+        float(run(x0))
+        reps = []
+        for _ in range(5):
+            t0 = _time.perf_counter()
+            float(run(x0))
+            reps.append((_time.perf_counter() - t0 - rtt) / CH)
+        ms = max(float(np.median(reps)) * 1e3, 1e-3)
+        log(f"{label}: {ms:.3f} ms/step")
+        return ms
+
+    # on-device synth inputs (no host upload; see bench.py rationale)
+    def synth(shape, dtype=jnp.bfloat16, salt=1.0):
+        n = int(np.prod(shape))
+        return jax.jit(lambda: (jnp.sin(
+            jnp.arange(n, dtype=jnp.float32) * 0.7311 * salt) * 0.02)
+            .astype(dtype).reshape(shape))()
+
+    w_head = synth((D, V), salt=1.3)
+    h_step = synth((rows, D), salt=0.7)
+    lm_head_ms = chained_ms(
+        lambda h: jnp.dot(h, w_head,
+                          preferred_element_type=jnp.float32)[:, :D]
+        .astype(jnp.bfloat16),
+        h_step, "lm_head_gemm")
+
+    logits0 = synth((rows, V), jnp.float32, salt=0.9)
+    softmax_ms = chained_ms(
+        lambda lg: jax.nn.log_softmax(lg, axis=-1) + 1e-6,
+        logits0, "log_softmax_fp32")
+
+    scores0 = synth((B_seq, nb * V), jnp.float32, salt=1.7)
+    def topk_body(s):
+        top, _ = jax.lax.top_k(s, 2 * nb)
+        return s.at[:, : 2 * nb].add(top * 1e-9)
+
+    topk_ms = chained_ms(topk_body, scores0, "top_k_2nb")
+
+    step_ms = slope * 1e3
+    residual_ms = max(step_ms - lm_head_ms - softmax_ms - topk_ms, 0.0)
+    shares = {
+        "lm_head_gemm": lm_head_ms,
+        "log_softmax_fp32": softmax_ms,
+        "top_k_beam_select": topk_ms,
+        "transformer_step_plus_bookkeeping": residual_ms,
+    }
+    bottleneck = max(shares, key=shares.get)
+    emit("capfilt_profile", {
+        "metric": "capfilt_decode_phase_probe",
+        "videos": VIDEOS, "num_frm": NUM_FRM, "image_size": IMAGE_SIZE,
+        "rows": rows, "beam_size": nb, "vocab": V, "hidden": D,
+        "t_generate_L20_s": round(t20, 3), "t_generate_L12_s": round(t12, 3),
+        "decode_steps": steps20,
+        "per_step_ms": round(step_ms, 3),
+        "fixed_overhead_ms": round(fixed * 1e3, 1),
+        "per_step_shares_ms": {k: round(v, 3) for k, v in shares.items()},
+        "bottleneck_after_encode": bottleneck,
+        "note": "slope from two fixed-step generate programs (early_exit "
+                "off); bare components timed data-dependent-chained with "
+                "rtt subtracted; residual = cached transformer step "
+                "(self-attn append + cross-attn over patch memory + MLP) "
+                "+ beam bookkeeping (gathers, penalties)",
     })
 
 
