@@ -97,8 +97,12 @@ class ViTConfig:
     # param grads in one program — full-remat memory profile without a
     # jax.checkpoint wrapper, none of the XLA-recompute vjp's HBM
     # boundaries. Requires use_fused_block; when set, the fused dispatch
-    # runs even under cfg.remat (the kernel IS the remat). Opt-in pending
-    # the train-step A/B (tools/bench_misc_train_steps.py REMAT=fusedbwd).
+    # runs even under cfg.remat (the kernel IS the remat). The dataclass
+    # default stays False (inference encodes never take the bwd path);
+    # trainers default the fwd+bwd PAIR ON via training_cfgs — measured
+    # faster than classic remat at every trainer shape (caption b64
+    # 46.6% vs 38.8% MFU; benchmarks/misc_train_steps.jsonl fusedbwd
+    # rows). VIDIL_TPU_TRAIN_FUSED_BLOCK=0 opts a training run out.
     fused_block_bwd_frames: int = 1  # frames per backward grid program
     # (backward holds ~4x the forward's live VMEM: keep 1 at 384px)
     fused_block_interpret: bool = False  # test-only: interpret-mode kernel

@@ -31,23 +31,42 @@ def training_cfgs(vit_cfg, med_cfg, med_remat: bool = True):
     if med_cfg.use_fused_mlp:
         med_cfg = dataclasses.replace(med_cfg, use_fused_mlp=False)
     import os
-    if (vit_cfg.use_fused_block
-            and not vit_cfg.use_fused_block_bwd
-            and os.environ.get("VIDIL_TPU_TRAIN_FUSED_BLOCK") != "1"):
+    fused_env = os.environ.get("VIDIL_TPU_TRAIN_FUSED_BLOCK")
+    if fused_env == "0":
+        # explicit opt-out: classic remat-full schedule
+        vit_cfg = dataclasses.replace(vit_cfg, use_fused_block=False,
+                                      use_fused_block_bwd=False)
+    elif (vit_cfg.use_fused_block and not vit_cfg.use_fused_block_bwd
+          and fused_env != "1"):
         # Whole-layer fused ViT kernel (forward-only form) OFF under
         # autodiff: measured negative on the real chip — its custom-vjp
         # backward recomputes the block through XLA as one chunk, and the
         # caption/VQA steps run 6-7% SLOWER than the classic remat-full
         # schedule (batch 64: caption 0.621 vs 0.578 s/step, vqa 0.653 vs
         # 0.614; benchmarks/misc_train_steps.jsonl remat=fusedblock rows).
-        # Inference encodes keep it (1.25-1.65x, fused_block_ab.jsonl).
-        # With use_fused_block_bwd the backward is the whole-block Pallas
-        # kernel (recompute-inside-VMEM, no XLA recompute) and the fused
-        # pair stays on for training — see the REMAT=fusedbwd mode of
-        # tools/bench_misc_train_steps.py for the measured step times.
-        # Re-measure the forward-only form via VIDIL_TPU_TRAIN_FUSED_BLOCK=1
-        # (the REMAT=fusedblock mode of the same tool).
+        # Re-measure it via VIDIL_TPU_TRAIN_FUSED_BLOCK=1 (the
+        # REMAT=fusedblock mode of tools/bench_misc_train_steps.py).
         vit_cfg = dataclasses.replace(vit_cfg, use_fused_block=False)
+    elif not vit_cfg.use_fused_block:
+        # Measured default: the whole-block Pallas fwd+BWD pair
+        # (ops/fused_vit_block.py) — the backward recomputes the forward
+        # inside VMEM from the saved residual input (full-remat memory
+        # profile, none of the XLA-recompute vjp's HBM boundaries). On
+        # chip it beats the classic remat-full schedule at every measured
+        # trainer shape (benchmarks/misc_train_steps.jsonl remat=fusedbwd
+        # rows vs the remat-None rows at identical shapes): caption b64
+        # 0.481 vs 0.578 s/step (46.6% vs 38.8% MFU), vqa b64 0.513 vs
+        # 0.614 (45.1% vs 37.6%), caption b32 0.258 vs 0.297, vqa b32
+        # 0.275 vs 0.318, pretrain b64 0.340 vs 0.348; at the reference
+        # batch 8 it is a ~2% wash (caption 0.0996 vs 0.0974 — the
+        # shipped yamls run the TPU-tuned batches 32-64). The dispatch
+        # self-gates (models/vit.py): full-size hidden (768/1024) on a
+        # real TPU only — tiny test configs and CPU meshes keep the
+        # classic XLA path. Retrieval's step shares the same ViT
+        # encode+bwd but is not separately A/B'd; opt out per-run with
+        # VIDIL_TPU_TRAIN_FUSED_BLOCK=0.
+        vit_cfg = dataclasses.replace(vit_cfg, use_fused_block=True,
+                                      use_fused_block_bwd=True)
     return vit_cfg, med_cfg
 
 
