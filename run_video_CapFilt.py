@@ -20,6 +20,9 @@ Extra config keys vs the reference:
                     values differ from the RGB path by the BT.601 roundtrip
                     (<=1/255 on gray, small on chroma edges), so the default
                     stays 'rgb' for byte-parity with the reference.
+  synthetic_weights: benchmarking only — synthesize full-size params on
+                    device instead of loading the .pth checkpoints
+                    (captions are meaningless; path/schedule identical).
 """
 
 from __future__ import annotations
@@ -61,10 +64,28 @@ def build_engine(config, dtype=None):
 
     tokenizer = BlipTokenizer(config["bert_vocab"])
 
-    cap_sd = convert.load_torch_state_dict(config["caption_model_ckpt"])
-    captioner = convert.convert_blip_decoder(cap_sd, vit_cfg, med_cfg)
-    fil_sd = convert.load_torch_state_dict(config["filterer_model_ckpt"])
-    filterer = convert.convert_blip_itm(fil_sd, vit_cfg, med_cfg)
+    if config.get("synthetic_weights", False):
+        # Benchmarking affordance (not in the reference): synthesize
+        # full-size params ON DEVICE instead of loading + uploading a
+        # .pth — a BLIP-base pair is ~400 MB, which the dev tunnel moves
+        # in tens of minutes. Captions are meaningless; the compute path,
+        # shapes and schedule are the production ones. Used by the
+        # from-disk end-to-end benchmark (benchmarks/capfilt_from_disk.jsonl).
+        from vidil_tpu.models.blip import init_blip_decoder, init_blip_itm
+        from vidil_tpu.utils.synth import synth_tree
+
+        cap_shapes = jax.eval_shape(
+            lambda: init_blip_decoder(jax.random.PRNGKey(0), vit_cfg, med_cfg))
+        fil_shapes = jax.eval_shape(
+            lambda: init_blip_itm(jax.random.PRNGKey(1), vit_cfg, med_cfg,
+                                  embed_dim=256))
+        captioner = jax.jit(lambda: synth_tree(cap_shapes))()
+        filterer = jax.jit(lambda: synth_tree(fil_shapes))()
+    else:
+        cap_sd = convert.load_torch_state_dict(config["caption_model_ckpt"])
+        captioner = convert.convert_blip_decoder(cap_sd, vit_cfg, med_cfg)
+        fil_sd = convert.load_torch_state_dict(config["filterer_model_ckpt"])
+        filterer = convert.convert_blip_itm(fil_sd, vit_cfg, med_cfg)
 
     return CapFiltEngine(
         captioner, filterer, tokenizer, vit_cfg, med_cfg,
@@ -124,6 +145,8 @@ def main(args, config):
     video_text_Cap_unfiltered = {}
     t0 = time.time()
     n_frames = 0
+    t_steady = None       # set when the first chunk completes (post-compile)
+    n_frames_steady = 0
 
     def decode_item(item):
         """Host-side decode + PIL resize of one video (thread-parallel)."""
@@ -162,8 +185,12 @@ def main(args, config):
     in_flight = None  # (dispatch, meta, real)
 
     def drain_chunk(d, meta, real):
-        nonlocal n_frames
+        nonlocal n_frames, t_steady, n_frames_steady
         results = engine.complete_chunk(d)
+        if t_steady is None:
+            # first chunk carries the one-time program compile; the
+            # steady-state rate print below excludes it
+            t_steady, n_frames_steady = time.time(), n_frames + real * num_frm
         for item, res in zip(meta, results[:real]):
             video_text_Cap_unfiltered[res.video_id] = res.unfiltered_text
             if res.text != []:
@@ -232,6 +259,10 @@ def main(args, config):
     dt = time.time() - t0
     if n_frames:
         print(f"rank{rank}: {n_frames} frames in {dt:.1f}s = {n_frames/dt:.2f} frames/s")
+    if t_steady is not None and n_frames > n_frames_steady:
+        ds, fs = time.time() - t_steady, n_frames - n_frames_steady
+        print(f"rank{rank}: steady-state (first chunk's compile excluded): "
+              f"{fs} frames in {ds:.1f}s = {fs/ds:.2f} frames/s")
 
     with open(os.path.join(tmp_dir, f"{rank}_filtered.json"), "w") as out:
         json.dump(video_text_CapFilt, out, indent=4)

@@ -193,3 +193,25 @@ def test_cli_youcook2_yaml_end_to_end(workdir):
     for texts in capfilt.values():
         assert all(isinstance(t, str) for t in texts)
     assert not os.path.exists(os.path.join(out_dir, "tmp"))
+
+
+def test_cli_synthetic_weights(workdir):
+    """synthetic_weights: true builds the engine with on-device-synthesized
+    full-shape params (no .pth load) and runs the identical pipeline —
+    the benchmarking affordance behind benchmarks/capfilt_from_disk.jsonl."""
+    import run_video_CapFilt as cli
+
+    out_dir = str(workdir.root / "out_synth")
+    args = types.SimpleNamespace(
+        output_dir=out_dir, seed=42, world_size=1, dist_url="env://",
+        distributed=False, device="cpu",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    cfg = dict(workdir.config, synthetic_weights=True)
+    del cfg["caption_model_ckpt"], cfg["filterer_model_ckpt"]  # must not be read
+    cli.main(args, cfg)
+
+    cap = json.load(open(os.path.join(out_dir, "video_text_Cap.json")))
+    capfilt = json.load(open(os.path.join(out_dir, "video_text_CapFilt.json")))
+    assert set(cap.keys()) == {"video0", "video1", "video2"}
+    assert set(capfilt.keys()) == set(cap.keys())
