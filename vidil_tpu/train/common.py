@@ -5,7 +5,8 @@ from __future__ import annotations
 import dataclasses
 
 
-def training_cfgs(vit_cfg, med_cfg, med_remat: bool = True):
+def training_cfgs(vit_cfg, med_cfg, med_remat: bool = True,
+                  default_fused_bwd: bool = True):
     """Return (vit_cfg, med_cfg) adjusted for autodiff training.
 
     * MED-layer remat ON by default — the saved (L, B, Lq, D) activation
@@ -47,7 +48,7 @@ def training_cfgs(vit_cfg, med_cfg, med_remat: bool = True):
         # Re-measure it via VIDIL_TPU_TRAIN_FUSED_BLOCK=1 (the
         # REMAT=fusedblock mode of tools/bench_misc_train_steps.py).
         vit_cfg = dataclasses.replace(vit_cfg, use_fused_block=False)
-    elif not vit_cfg.use_fused_block:
+    elif not vit_cfg.use_fused_block and default_fused_bwd:
         # Measured default: the whole-block Pallas fwd+BWD pair
         # (ops/fused_vit_block.py) — the backward recomputes the forward
         # inside VMEM from the saved residual input (full-remat memory

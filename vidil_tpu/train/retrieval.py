@@ -67,7 +67,18 @@ def make_retrieval_train_step(vit_cfg: ViTConfig, med_cfg: MedConfig, optimizer,
 
     from vidil_tpu.train.common import training_cfgs
 
-    vit_cfg, med_cfg = training_cfgs(vit_cfg, med_cfg, med_remat)
+    # default_fused_bwd=False: inside THIS step the fused-block Pallas
+    # backward fails to compile on v5e — scoped-VMEM OOM (41.25M vs the
+    # 16M stack limit) in jit(train_step)/transpose(jvp())/while/body/
+    # closed_call/jit(_fused_block_backward), batch 32 x 4frm @224px,
+    # 2026-08-19 — even though the identically-shaped caption/VQA steps
+    # compile and run it 15-20% faster. Retrieval (momentum second
+    # forward + queue) keeps the classic remat schedule until the
+    # kernel's retrieval-context VMEM budget is diagnosed; opt in
+    # explicitly via ViTConfig(use_fused_block=True,
+    # use_fused_block_bwd=True) to reproduce.
+    vit_cfg, med_cfg = training_cfgs(vit_cfg, med_cfg, med_remat,
+                                     default_fused_bwd=False)
     def train_step(state: RetrievalTrainState, batch, alpha, rng):
         def loss_fn(params):
             loss_ita, loss_itm, aux = retrieval_loss(
