@@ -76,7 +76,10 @@ def make_retrieval_train_step(vit_cfg: ViTConfig, med_cfg: MedConfig, optimizer,
     # forward + queue) keeps the classic remat schedule until the
     # kernel's retrieval-context VMEM budget is diagnosed; opt in
     # explicitly via ViTConfig(use_fused_block=True,
-    # use_fused_block_bwd=True) to reproduce.
+    # use_fused_block_bwd=True) to reproduce. Batch 8 opt-in did not
+    # even finish compiling in 500s (same day) - the pathology is the
+    # retrieval step's fusion context (momentum second forward /
+    # closed_call), not the batch-32 buffer sizes.
     vit_cfg, med_cfg = training_cfgs(vit_cfg, med_cfg, med_remat,
                                      default_fused_bwd=False)
     def train_step(state: RetrievalTrainState, batch, alpha, rng):
