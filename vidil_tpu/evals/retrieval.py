@@ -77,9 +77,15 @@ class RetrievalEvaluator:
         # serialized into remotely-compiled modules)
         @jax.jit
         def _text_side(params, ids, mask):
+            # NO self_fold here: the feature pass is 256 rows x 35 tokens —
+            # already MXU-shaped — and ran 7.6-14.9s warm pre-fold
+            # (benchmarks/retrieval_eval.jsonl); with the fold wired in it
+            # read ~700s in both 2026-08-19 runs (the folded 280-token text
+            # program compiles freshly/pathologically on this backend for
+            # zero compute benefit). The fold stays where it pays: the
+            # rerank's (16-token, per-pair) text rows.
             hidden = M.med_forward(params["text_encoder"], ids, mask, cfg=med_cfg,
-                                   mode="text", dtype=dtype,
-                                   self_fold=self_fold)
+                                   mode="text", dtype=dtype)
             feat = linear(params["text_proj"], hidden[:, 0, :], dtype=dtype)
             return (feat / jnp.linalg.norm(feat.astype(jnp.float32), axis=-1, keepdims=True).astype(feat.dtype)).astype(jnp.float32)
 
@@ -257,18 +263,32 @@ class RetrievalEvaluator:
         minutes-long device execution — long enough to trip worker
         watchdogs at msrvtt scale — and a per-block dispatch pays one
         host round-trip each; fixed-size chunks keep one compiled shape
-        with ~seconds-long executions."""
+        with ~seconds-long executions.
+
+        One dispatch is kept in flight: the next chunk is ENQUEUED before
+        the previous chunk's result is read back, so the device never
+        drains between chunks. The phase-split measured the isolated
+        dispatch at 2x the serial evaluator's rate — the other half was
+        this dispatch→readback→dispatch gap (benchmarks/rerank_split.jsonl;
+        same pattern as the CapFilt fused-filter chunk overlap)."""
         n_blocks = stacked[0].shape[0]
         SB = max(1, self.blocks_per_dispatch)
         outs = []
+        pending = None  # (device_result, n_real_blocks)
         for off in range(0, n_blocks, SB):
             chunk = [a[off:off + SB] for a in stacked]
             real = chunk[0].shape[0]
             if real < SB:
                 chunk = [np.concatenate([c, np.repeat(c[-1:], SB - real, axis=0)])
                          for c in chunk]
-            out = np.asarray(blocks_fn(*(jnp.asarray(c) for c in chunk)))
-            outs.append(out[:real])
+            dev = blocks_fn(*(jnp.asarray(c) for c in chunk))  # enqueue only
+            if pending is not None:
+                out, preal = pending
+                outs.append(np.asarray(out)[:preal])  # readback overlaps `dev`
+            pending = (dev, real)
+        if pending is not None:
+            out, preal = pending
+            outs.append(np.asarray(out)[:preal])
         return np.concatenate(outs)
 
     def _rerank_t2v_bucketed(self, sims, vf, tids, tatts):
