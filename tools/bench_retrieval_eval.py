@@ -34,25 +34,27 @@ from vidil_tpu.utils.bench_artifact import emit
 N_VIDEOS = int(os.environ.get("N_VIDEOS", 1000))
 K_TEST = int(os.environ.get("K_TEST", 128))
 ROWS = int(os.environ.get("ROWS", 8))
-SELF_FOLD = int(os.environ.get("SELF_FOLD", 8))  # texts per block-diagonal
+SELF_FOLD = int(os.environ.get("SELF_FOLD", 8))
+T2V_GROUP = int(os.environ.get("T2V_GROUP", 64))  # texts per block-diagonal
 # self-attention fold in the grouped rerank (1 = the pre-fold layout)
 NUM_FRM = 8
 IMAGE_SIZE = 224
 V5E_PEAK_BF16_TFLOPS = 197.0
 
 
-def rerank_tflops(n: int, k: int, L: int, M: int, med_cfg) -> float:
+def rerank_tflops(n: int, k: int, L: int, M: int, med_cfg,
+                  g: int | None = None) -> float:
     """Analytic matmul FLOPs (2*m*n*k per GEMM) for the two-direction
     k_test rerank: per scoring per layer 12*L*D^2 (self QKVO + cross
     Q/out) + 4*L*D*I (MLP) + 4*L^2*D + 4*L*M*D (scores+apply), times
     2*n*k scorings; plus the shared cross-K/V projection 4*M*D^2 per
     memory materialization — once per video in v2t (grouped rows), and
-    ~ceil(n*k/G) bucket materializations in t2v (G = min(32, k),
-    full-bucket approximation of _rerank_t2v_bucketed)."""
+    ~ceil(n*k/G) bucket materializations in t2v (G = the evaluator's
+    t2v_group, full-bucket approximation of _rerank_t2v_bucketed)."""
     D, I = med_cfg.hidden_size, med_cfg.intermediate_size
     per_scoring = (12 * L * D * D + 4 * L * D * I + 4 * L * L * D
                    + 4 * L * M * D)
-    g = min(32, k)
+    g = g or min(32, k)
     kv_mats = n + (n * k + g - 1) // g
     return med_cfg.num_layers * (kv_mats * 4 * M * D * D
                                  + 2 * n * k * per_scoring) / 1e12
@@ -94,7 +96,8 @@ def main():
     log(f"on-device param synth: {time.time()-t:.1f}s")
 
     ev = RetrievalEvaluator(params, vit_cfg, med_cfg, tok, k_test=K_TEST,
-                            rows_per_batch=ROWS, self_fold=SELF_FOLD)
+                            rows_per_batch=ROWS, self_fold=SELF_FOLD,
+                            t2v_group=T2V_GROUP)
 
     # --- text side (1 caption per video, reference identity maps) ---
     rng = np.random.RandomState(0)
@@ -143,14 +146,15 @@ def main():
 
     L = int(np.asarray(text_ids).shape[1])  # trimmed pad length
     M = NUM_FRM * ((IMAGE_SIZE // 16) ** 2 + 1)
-    fl = rerank_tflops(N_VIDEOS, min(K_TEST, N_VIDEOS), L, M, med_cfg)
+    fl = rerank_tflops(N_VIDEOS, min(K_TEST, N_VIDEOS), L, M, med_cfg,
+                       g=min(T2V_GROUP, K_TEST, N_VIDEOS))
     emit("retrieval_eval", {
         "metric": "retrieval_eval_itm_rerank_throughput",
         "value": round(n_scorings / t_rerank, 1),
         "unit": "ITM scorings/sec/chip",
         "n_videos": N_VIDEOS, "k_test": K_TEST, "num_frm": NUM_FRM,
         "image_size": IMAGE_SIZE, "text_len_trimmed": L,
-        "self_fold": SELF_FOLD,
+        "self_fold": SELF_FOLD, "t2v_group": T2V_GROUP,
         "rerank_tflops": round(fl, 2),
         "rerank_mfu": round(fl / t_rerank / V5E_PEAK_BF16_TFLOPS, 4),
         "mfu_note": "analytic matmul FLOPs vs bf16 peak; cross-K/V "

@@ -53,7 +53,8 @@ def build_t2v_buckets(topk, start: int, end: int, G: int):
 class RetrievalEvaluator:
     def __init__(self, params, vit_cfg: ViTConfig, med_cfg: MedConfig, tokenizer,
                  k_test: int = 64, dtype=jnp.bfloat16, rows_per_batch: int = 8,
-                 mesh=None, blocks_per_dispatch: int = 8, self_fold: int = 8):
+                 mesh=None, blocks_per_dispatch: int = 8, self_fold: int = 8,
+                 t2v_group: int | None = None):
         # mesh: optional ('data',...) Mesh — params replicated, batch inputs
         # sharded over 'data', one SPMD program over all local chips
         # self_fold: texts folded per block-diagonal self-attention sequence
@@ -72,6 +73,14 @@ class RetrievalEvaluator:
         self.k_test = k_test
         self.rows_per_batch = rows_per_batch
         self.blocks_per_dispatch = blocks_per_dispatch
+        # t2v_group: texts per shared-video-memory bucket in the t2v
+        # rerank. Bigger buckets amortize the (Lk, D) cross-K/V
+        # materialization over more texts (the t2v direction's cost is
+        # dominated by it — v2t shares one memory across all k=128 of a
+        # row's texts and runs ~2x the blended rate) at the price of more
+        # tail padding per video bucket. Exact for any value (padding is
+        # masked out of the scatter). None -> min(64, k_test).
+        self.t2v_group = t2v_group
 
         # params are explicit jit arguments (closure-captured trees get
         # serialized into remotely-compiled modules)
@@ -308,7 +317,7 @@ class RetrievalEvaluator:
         indexing."""
         n_rows, n_cols = sims.shape  # rows = texts, cols = videos
         k = min(self.k_test, n_cols)
-        G = max(1, min(32, k))
+        G = max(1, min(self.t2v_group or 64, k))
         R = max(1, self.rows_per_batch)
         scores = np.full(sims.shape, -100.0, np.float32)
         start, end = shard_range(n_rows)
