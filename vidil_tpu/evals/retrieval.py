@@ -79,7 +79,12 @@ class RetrievalEvaluator:
         # dominated by it — v2t shares one memory across all k=128 of a
         # row's texts and runs ~2x the blended rate) at the price of more
         # tail padding per video bucket. Exact for any value (padding is
-        # masked out of the scatter). None -> min(64, k_test).
+        # masked out of the scatter). None -> min(64, k_test): on chip
+        # the 1000x1000 k=128 eval reads 13.7k scorings/s at G=64 and
+        # 14.3k at G=128 on near-uniform buckets (vs 6.6k at the old
+        # G=32; benchmarks/retrieval_eval.jsonl) — 64 is kept as the
+        # default because real corpora skew bucket sizes and padding
+        # waste grows with G.
         self.t2v_group = t2v_group
 
         # params are explicit jit arguments (closure-captured trees get
