@@ -10,6 +10,12 @@ to benchmarks/capfilt_profile.jsonl.
 Env: PROF_VIDEOS (default 64), PROF_ITERS (default 5).
 Optionally PROF_TRACE=/path captures a jax.profiler trace of one full
 iteration for offline inspection.
+
+PROF_STEPX=1 runs ONLY the decode-step isolation (skips the standard
+program timings): times med_decode_step chained at the exact CapFilt
+step shapes, plus ablations (no cross-attn, cross bias dropped) and the
+pure cross-K/V HBM-read floor, to locate where the 22-ms residual of the
+decode step (capfilt_decode_phase_probe) actually goes.
 """
 
 from __future__ import annotations
@@ -84,6 +90,17 @@ def main():
         .astype(jnp.uint8).reshape(F, IMAGE_SIZE, IMAGE_SIZE, 3)))()
     _ = float(jnp.sum(frames[0].astype(jnp.float32)))
     log(f"on-device frame synth: {time.time()-t:.1f}s")
+
+    if os.environ.get("PROF_STEPX") == "1":
+        cap_embeds = engine.encode_captioner(frames)
+        jax.block_until_ready(cap_embeds)
+        # free what the isolation never touches (filterer params, frames):
+        # the production shapes put ~5.4 GB of cross-K/V on a 16 GB chip
+        for leaf in jax.tree.leaves(fil):
+            leaf.delete()
+        frames.delete()
+        _step_isolation(engine, cap, tok, med_cfg, cap_embeds)
+        return
 
     def timed(fn, close, label):
         close(fn())  # warmup/compile
@@ -326,6 +343,380 @@ def _decode_probe(engine, cap, fil, tok, vit_cfg, med_cfg, cap_embeds, timed):
                 "(self-attn append + cross-attn over patch memory + MLP) "
                 "+ beam bookkeeping (gathers, penalties)",
     })
+
+
+def _step_isolation(engine, cap, tok, med_cfg, cap_embeds):
+    """PROF_STEPX=1: where does the decode step's 22-ms residual go?
+
+    The phase probe (capfilt_decode_phase_probe) leaves one opaque share:
+    'transformer_step_plus_bookkeeping'. This isolates it further by timing
+    med_decode_step ALONE (no beam bookkeeping) chained data-dependently,
+    then ablating:
+      * step_nocross — cross_k/v/bias = None (decoder-only step): the
+        difference is the grouped cross-attention's full cost;
+      * step_nobias  — cross bias dropped (it is identically zero for the
+        unpadded patch memory, but blip_generate_ids materializes and adds
+        it in fp32 every layer);
+      * kv_read_floor — a carry-dependent sum over the full cross-K/V
+        (dynamic-slice start defeats loop-invariant hoisting): the pure
+        HBM-read time of the bytes the cross-attention MUST touch.
+    achieved_gbs = cross bytes / cross time says how far the XLA einsum
+    chain sits from the read floor — the go/no-go number for a Pallas
+    flash-decode kernel. Emits one capfilt_decode_step_isolation row.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vidil_tpu.models import med as M
+    from vidil_tpu.utils.bench_artifact import emit
+
+    nb = engine.gen_beam.num_beams
+    maxlen = engine.gen_beam.max_length
+    dtype = engine.dtype
+    B = int(cap_embeds.shape[0])
+    Lk = int(cap_embeds.shape[1])
+    rows = B * nb
+    dec_tree = cap["text_decoder"]
+
+    log(f"stepx: B={B} Lk={Lk} rows={rows} maxlen={maxlen} nb={nb}")
+    ck, cv = jax.jit(
+        lambda p, e: M.precompute_cross_kv(p, e, med_cfg, dtype=dtype)
+    )(dec_tree, cap_embeds)
+    jax.block_until_ready((ck, cv))
+    cap_embeds.delete()  # only needed to project K/V
+    cb = jax.jit(
+        lambda: M.invert_attention_mask(jnp.ones((B, Lk), jnp.int32)))()
+    cache0 = jax.jit(
+        lambda: M.init_self_cache(med_cfg, rows, maxlen, dtype=dtype))()
+    toks0 = jnp.full((rows,), 5, jnp.int32)
+    kv_bytes = 2 * ck.size * ck.dtype.itemsize  # K + V, all layers
+
+    import time as _time
+
+    one = jnp.zeros((), jnp.float32)
+    fid = jax.jit(lambda x: x + 1.0)
+    float(fid(one))
+    rtts = []
+    for _ in range(7):
+        t0 = _time.perf_counter()
+        float(fid(one))
+        rtts.append(_time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+    log(f"stepx: readback rtt {rtt*1e3:.1f} ms")
+
+    CH = 12
+
+    def chained(run, args, label):
+        float(run(*args))  # warmup/compile
+        reps = []
+        for _ in range(5):
+            t0 = _time.perf_counter()
+            float(run(*args))
+            reps.append((_time.perf_counter() - t0 - rtt) / CH)
+        ms = max(float(np.median(reps)) * 1e3, 1e-3)
+        log(f"{label}: {ms:.3f} ms/step")
+        return ms
+
+    def make_step_run(with_cross: bool, with_bias: bool):
+        @jax.jit
+        def run(dec, cache, k, v, b, toks):
+            def body(carry, _):
+                toks, cache = carry
+                logits, cache = M.med_decode_step(
+                    dec, toks, 10, cache, k, v, b, med_cfg,
+                    dtype=dtype, beam_size=nb)
+                # cheap data dependence: next tokens from a logit slice
+                toks = (jnp.argmax(logits[:, :8], axis=-1) + 5).astype(jnp.int32)
+                return (toks, cache), ()
+
+            (toks, _), _ = jax.lax.scan(body, (toks, cache), None, length=CH)
+            return jnp.sum(toks.astype(jnp.float32))
+
+        if with_cross:
+            args = (dec_tree, cache0, ck, cv, cb if with_bias else None, toks0)
+        else:
+            args = (dec_tree, cache0, None, None, None, toks0)
+        return run, args
+
+    run_full, a_full = make_step_run(True, True)
+    ms_full = chained(run_full, a_full, "step_full")
+    run_nobias, a_nobias = make_step_run(True, False)
+    ms_nobias = chained(run_nobias, a_nobias, "step_nobias")
+    run_nocross, a_nocross = make_step_run(False, False)
+    ms_nocross = chained(run_nocross, a_nocross, "step_nocross")
+
+    @jax.jit
+    def run_read(k, v):
+        Bk = k.shape[1]
+
+        def masked_sum(x, r):
+            # carry-dependent mask on the ORIGINAL shape (any reshape here
+            # forces a physical re-layout copy of the 2.7 GB operand — both
+            # an astype-then-scale variant and a 2-D-reshape variant OOMed);
+            # the select fuses into the reduction and the r-dependence
+            # defeats loop-invariant hoisting of the big read
+            rows_i = jax.lax.broadcasted_iota(jnp.int32, (1, Bk, 1, 1, 1), 1)
+            zero = jnp.zeros((), x.dtype)
+            return jnp.sum(jnp.where(rows_i >= r, x, zero)
+                           .astype(jnp.float32) * 1e-20)
+
+        def body(c, _):
+            r = (c.astype(jnp.int32) % 2)
+            tot = masked_sum(k, r) + masked_sum(v, r)
+            return c + tot, ()
+
+        c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=CH)
+        return c
+
+    ms_read = chained(run_read, (ck, cv), "kv_read_floor")
+
+    if os.environ.get("PROF_STEPV") == "1":
+        _step_variants(engine, dec_tree, med_cfg, ck, cv, cb, cache0, toks0,
+                       chained, CH)
+
+    # --- beam bookkeeping isolation: beam_search slope with a toy step_fn
+    # (base logits + tiny token/cache dependence), so the L20-L12 slope is
+    # the pure per-step beam logic: log_softmax + min-length mask + score
+    # add + (B, nb*V) reshape + top_k + process_batch + seqs/cache reorder.
+    # A reorder_fn=identity variant splits out the cache-gather share.
+    import dataclasses
+
+    from vidil_tpu.ops.generation import beam_search
+
+    V = int(tok.vocab_size)
+    Lp = 4
+    base_logits = jax.jit(lambda: (jnp.sin(
+        jnp.arange(rows * V, dtype=jnp.float32) * 1.7)
+        .reshape(rows, V)))()
+    prompt = jnp.full((B, Lp), 7, jnp.int32)
+
+    def bookkeeping_ms(real_reorder: bool, label: str):
+        def mk_run(maxlen):
+            gen = dataclasses.replace(
+                engine.gen_beam, max_length=maxlen, early_exit=False,
+                min_length=5)
+
+            @jax.jit
+            def run(base, prompt_ids, cache):
+                def prefill_fn(ids, c):
+                    lg = base + ids[:, -1:].astype(jnp.float32) * 1e-9
+                    return lg, c
+
+                def step_fn(tokens, idx, c):
+                    # tiny cache read keeps the reorder gather alive
+                    lg = (base + tokens[:, None].astype(jnp.float32) * 1e-9
+                          + jnp.sum(c["k"][0, :, 0, :8], axis=-1,
+                                    keepdims=True).astype(jnp.float32) * 1e-20)
+                    return lg, c
+
+                def reorder_fn(c, idx):
+                    if real_reorder:
+                        return jax.tree.map(lambda x: x[:, idx], c)
+                    return c
+
+                seqs_out, _ = beam_search(prompt_ids, cache, prefill_fn,
+                                          step_fn, reorder_fn, gen)
+                return jnp.sum(seqs_out.astype(jnp.float32))
+
+            return run
+
+        def t_of(maxlen):
+            run = mk_run(maxlen)
+            cache = jax.jit(lambda: M.init_self_cache(
+                med_cfg, rows, maxlen, dtype=dtype))()
+            float(run(base_logits, prompt, cache))  # warmup
+            ts = []
+            for _ in range(5):
+                t0 = _time.perf_counter()
+                float(run(base_logits, prompt, cache))
+                ts.append(_time.perf_counter() - t0)
+            return float(np.median(ts))
+
+        t20 = t_of(maxlen)
+        t12 = t_of(12)
+        ms = max(t20 - t12, 0.0) / max(maxlen - 12, 1) * 1e3
+        log(f"{label}: {ms:.3f} ms/step (t20 {t20*1e3:.0f} ms, t12 {t12*1e3:.0f} ms)")
+        return ms
+
+    bk_ms = bookkeeping_ms(True, "beam_bookkeeping")
+    bk_noreorder_ms = bookkeeping_ms(False, "beam_bookkeeping_noreorder")
+
+    cross_ms = max(ms_full - ms_nocross, 1e-3)
+    row = {
+        "metric": "capfilt_decode_step_isolation",
+        "B": B, "Lk": Lk, "rows": rows, "beam_size": nb,
+        "hidden": med_cfg.hidden_size, "layers": med_cfg.num_layers,
+        "chain_len": CH,
+        "step_full_ms": round(ms_full, 3),
+        "step_nobias_ms": round(ms_nobias, 3),
+        "step_nocross_ms": round(ms_nocross, 3),
+        "cross_attn_ms": round(cross_ms, 3),
+        "bias_add_ms": round(ms_full - ms_nobias, 3),
+        "kv_read_floor_ms": round(ms_read, 3),
+        "beam_bookkeeping_ms": round(bk_ms, 3),
+        "beam_bookkeeping_noreorder_ms": round(bk_noreorder_ms, 3),
+        "cache_reorder_ms": round(bk_ms - bk_noreorder_ms, 3),
+        "cross_kv_gb": round(kv_bytes / 1e9, 2),
+        "cross_achieved_gbs": round(kv_bytes / 1e9 / (cross_ms / 1e3), 1),
+        "floor_achieved_gbs": round(kv_bytes / 1e9 / (ms_read / 1e3), 1),
+        "note": "med_decode_step chained data-dependently (no beam "
+                "bookkeeping); cross cost = full - nocross; read floor = "
+                "carry-dependent sum over the full cross-K/V; achieved_gbs "
+                "charges ALL cross time to the K/V bytes",
+    }
+    emit("capfilt_profile", row)
+
+
+def _step_variants(engine, dec_tree, med_cfg, ck, cv, cb, cache0, toks0,
+                   chained, CH):
+    """PROF_STEPV=1: ablate the decode step's structure to locate the
+    non-cross overhead (measured 5.4 ms vs ~1.5 ms analytic floor).
+
+    Variants (timing-only reimplementation of med_decode_step):
+      reimpl_scan      — sanity: should match step_full;
+      scan_nowrite     — self-K/V cache NOT updated: isolates the cost of
+                         the functional cache rewrite through the layer
+                         scan's ys (a full 452 MB/step copy if XLA doesn't
+                         update in place);
+      scan_noself      — self-attention block removed;
+      scan_nomlp       — MLP block removed;
+      unrolled_listkv  — python-unrolled layers, cache as 12 per-layer
+                         arrays (no stacked ys at all): scan + stacked-
+                         cache overhead together.
+    """
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from vidil_tpu.models import med as M
+
+    dt = engine.dtype
+    nb = engine.gen_beam.num_beams
+    H = med_cfg.num_heads
+    Dh = med_cfg.hidden_size // H
+    eps = med_cfg.layer_norm_eps
+    nl = med_cfg.num_layers
+    scale = 1.0 / math.sqrt(Dh)
+
+    def layer_body(x, layer, k_cache, v_cache, ckl, cvl, step_bias, B,
+                   max_len, write_cache, do_self, do_cross, do_mlp):
+        if do_self:
+            q = M.split_heads(M.linear(layer["self_attn"]["query"], x, dtype=dt), H)
+            k_new = M.linear(layer["self_attn"]["key"], x, dtype=dt)
+            v_new = M.linear(layer["self_attn"]["value"], x, dtype=dt)
+            if write_cache:
+                k_cache = jax.lax.dynamic_update_slice(
+                    k_cache, k_new.astype(k_cache.dtype), (0, 10, 0))
+                v_cache = jax.lax.dynamic_update_slice(
+                    v_cache, v_new.astype(v_cache.dtype), (0, 10, 0))
+            k4 = k_cache.reshape(B, max_len, H, Dh).astype(q.dtype)
+            v4 = v_cache.reshape(B, max_len, H, Dh).astype(q.dtype)
+            lg = jnp.einsum("bhqd,bkhd->bhqk", q, k4,
+                            preferred_element_type=jnp.float32) * scale
+            pr = jax.nn.softmax(lg + step_bias, axis=-1)
+            ctx = M.merge_heads(jnp.einsum("bhqk,bkhd->bhqd",
+                                           pr.astype(v4.dtype), v4))
+            h = M.linear(layer["self_attn"]["out"], ctx, dtype=dt)
+            x = M.layer_norm(layer["self_attn"]["norm"], h + x, eps)
+        if do_cross:
+            x = M._attn_block_precomputed_kv(
+                layer["cross_attn"], x, ckl, cvl, cb_arg[0], H, eps, dt,
+                beam_size=nb)
+        if do_mlp:
+            x = M._ffn_block(layer, x, med_cfg, dtype=dt)
+        return x, k_cache, v_cache
+
+    cb_arg = [None]  # set per-run (closure over small bias is fine)
+
+    def make_scan_run(write_cache=True, do_self=True, do_cross=True,
+                      do_mlp=True):
+        @jax.jit
+        def run(dec, cache, k_all, v_all, bias, toks):
+            cb_arg[0] = bias
+
+            def one_step(toks, cache):
+                B = toks.shape[0]
+                max_len = cache["k"].shape[2]
+                x = M.med_embeddings(dec, toks[:, None], med_cfg,
+                                     position_offset=10, dtype=dt)
+                pos = jnp.arange(max_len)
+                step_bias = jnp.where(pos <= 10, 0.0,
+                                      M.NEG_INF)[None, None, None, :]
+
+                def body(carry, scanned):
+                    layer, kc, vc, ckl, cvl = scanned
+                    x = carry
+                    x, kc, vc = layer_body(x, layer, kc, vc, ckl, cvl,
+                                           step_bias, B, max_len,
+                                           write_cache, do_self, do_cross,
+                                           do_mlp)
+                    return x, (kc, vc)
+
+                x, (nk, nv) = jax.lax.scan(
+                    body, x, (dec["layers"], cache["k"], cache["v"],
+                              k_all, v_all))
+                logits = M.med_lm_logits(dec, x[:, 0, :], med_cfg, dtype=dt)
+                return logits.astype(jnp.float32), {"k": nk, "v": nv}
+
+            def sbody(carry, _):
+                toks, cache = carry
+                logits, cache = one_step(toks, cache)
+                toks = (jnp.argmax(logits[:, :8], axis=-1) + 5).astype(jnp.int32)
+                return (toks, cache), ()
+
+            (toks, _), _ = jax.lax.scan(sbody, (toks, cache), None, length=CH)
+            return jnp.sum(toks.astype(jnp.float32))
+
+        return run
+
+    args = (dec_tree, cache0, ck, cv, cb, toks0)
+    chained(make_scan_run(), args, "v:reimpl_scan")
+    chained(make_scan_run(write_cache=False), args, "v:scan_nowrite")
+    chained(make_scan_run(do_self=False), args, "v:scan_noself")
+    chained(make_scan_run(do_mlp=False), args, "v:scan_nomlp")
+
+    # unrolled layers + per-layer cache arrays (no stacked scan ys)
+    cache_list0 = tuple(
+        (jax.jit(lambda: jnp.zeros_like(cache0["k"][0]))(),
+         jax.jit(lambda: jnp.zeros_like(cache0["v"][0]))())
+        for _ in range(nl))
+
+    @jax.jit
+    def run_unrolled(dec, cache_list, k_all, v_all, bias, toks):
+        cb_arg[0] = bias
+
+        def one_step(toks, cache_list):
+            B = toks.shape[0]
+            max_len = cache_list[0][0].shape[1]
+            x = M.med_embeddings(dec, toks[:, None], med_cfg,
+                                 position_offset=10, dtype=dt)
+            pos = jnp.arange(max_len)
+            step_bias = jnp.where(pos <= 10, 0.0,
+                                  M.NEG_INF)[None, None, None, :]
+            new_list = []
+            for i in range(nl):
+                layer = jax.tree.map(lambda p: p[i], dec["layers"])
+                kc, vc = cache_list[i]
+                x, kc, vc = layer_body(x, layer, kc, vc, k_all[i], v_all[i],
+                                       step_bias, B, max_len, True, True,
+                                       True, True)
+                new_list.append((kc, vc))
+            logits = M.med_lm_logits(dec, x[:, 0, :], med_cfg, dtype=dt)
+            return logits.astype(jnp.float32), tuple(new_list)
+
+        def sbody(carry, _):
+            toks, cache_list = carry
+            logits, cache_list = one_step(toks, cache_list)
+            toks = (jnp.argmax(logits[:, :8], axis=-1) + 5).astype(jnp.int32)
+            return (toks, cache_list), ()
+
+        (toks, _), _ = jax.lax.scan(sbody, (toks, cache_list), None,
+                                    length=CH)
+        return jnp.sum(toks.astype(jnp.float32))
+
+    chained(run_unrolled, (dec_tree, cache_list0, ck, cv, cb, toks0),
+            "v:unrolled_listkv")
 
 
 if __name__ == "__main__":
