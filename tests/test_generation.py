@@ -178,6 +178,53 @@ def test_beam_grouped_cross_attention_matches_replicated():
     np.testing.assert_array_equal(np.asarray(grouped), np.asarray(replicated))
 
 
+@pytest.mark.parametrize("unroll,lazy", [(True, False), (False, True), (True, True)])
+def test_decode_restructure_flags_bit_identical(unroll, lazy):
+    """decode_layer_unroll / decode_lazy_reorder are pure decode-structure
+    changes (per-layer cache arrays instead of a scanned stack; ancestry-
+    gather beam reorder instead of physically permuting the K/V cache) —
+    token outputs must be BIT-identical to the stock path on every
+    beam_group_kv x cross_kv_int8 combination (see med.init_self_cache
+    for the measured per-step costs each flag removes)."""
+    from vidil_tpu.models.blip import blip_generate_ids
+
+    params = M.init_med(jax.random.PRNGKey(3), CFG_CROSS, with_lm_head=True)
+    B, Lp, nb, max_len = 2, 3, 3, 14
+    prompt = jnp.asarray(np.random.RandomState(5).randint(6, 61, size=(B, Lp)), jnp.int32)
+    enc = jax.random.normal(jax.random.PRNGKey(9), (B, 5, CFG_CROSS.encoder_width))
+    gen = GenerationConfig(max_length=max_len, min_length=5, num_beams=nb,
+                           eos_token_id=EOS, pad_token_id=PAD)
+    for group, int8 in ((False, False), (True, False), (True, True)):
+        stock = blip_generate_ids(
+            {"text_decoder": params}, enc, prompt, CFG_CROSS, gen,
+            beam_group_kv=group, cross_kv_int8=int8)
+        opt = blip_generate_ids(
+            {"text_decoder": params}, enc, prompt, CFG_CROSS, gen,
+            beam_group_kv=group, cross_kv_int8=int8,
+            decode_layer_unroll=unroll, decode_lazy_reorder=lazy)
+        np.testing.assert_array_equal(np.asarray(stock), np.asarray(opt))
+
+
+def test_decode_restructure_sample_path_bit_identical():
+    """Nucleus sampling with decode_layer_unroll must match stock exactly
+    (lazy reorder is a beam-only concept — blip_generate_ids drops it on
+    the sample path, where nothing ever permutes the cache)."""
+    from vidil_tpu.models.blip import blip_generate_ids
+
+    params = M.init_med(jax.random.PRNGKey(1), CFG_CROSS, with_lm_head=True)
+    B, Lp, max_len = 4, 3, 18
+    prompt = jnp.asarray(np.random.RandomState(4).randint(6, 61, size=(B, Lp)), jnp.int32)
+    enc = jax.random.normal(jax.random.PRNGKey(2), (B, 5, CFG_CROSS.encoder_width))
+    gen = GenerationConfig(max_length=max_len, min_length=8, eos_token_id=EOS,
+                           pad_token_id=PAD, repetition_penalty=1.1, top_p=0.9)
+    stock = blip_generate_ids({"text_decoder": params}, enc, prompt, CFG_CROSS,
+                              gen, sample=True, rng_key=jax.random.PRNGKey(0))
+    opt = blip_generate_ids({"text_decoder": params}, enc, prompt, CFG_CROSS,
+                            gen, sample=True, rng_key=jax.random.PRNGKey(0),
+                            decode_layer_unroll=True, decode_lazy_reorder=True)
+    np.testing.assert_array_equal(np.asarray(stock), np.asarray(opt))
+
+
 def test_nucleus_sample_shape_and_eos():
     params = M.init_med(jax.random.PRNGKey(1), CFG_CROSS, with_lm_head=True)
     rng = np.random.RandomState(4)

@@ -112,6 +112,15 @@ def make_decoder_closures(params, cross_k, cross_v, cross_bias, med_cfg: MedConf
                                  dtype=dtype, beam_size=beam_size, int8_dot=int8_dot)
 
     def reorder_fn(cache, idx):
+        if "anc" in cache:
+            # lazy reorder: permute ONLY the (B, L) int32 ancestry matrix;
+            # the K/V rows never move (the decode step gathers through anc
+            # — the bytes the attention already reads). Replaces the
+            # 2.3-2.8 ms/step physical cache permutation at the CapFilt
+            # shapes (benchmarks/capfilt_profile.jsonl stepx rows).
+            return dict(cache, anc=cache["anc"][idx])
+        if isinstance(cache["k"], tuple):  # unrolled per-layer layout
+            return jax.tree.map(lambda x: x[idx], cache)
         return jax.tree.map(lambda x: x[:, idx], cache)
 
     return prefill_fn, step_fn, reorder_fn
@@ -121,6 +130,7 @@ def blip_generate_ids(
     params, image_embeds, prompt_ids, med_cfg: MedConfig, gen: GenerationConfig,
     sample: bool = False, rng_key=None, dtype=None, cache_dtype=None,
     beam_group_kv: bool = False, cross_kv_int8: bool | str = False,
+    decode_layer_unroll: bool = False, decode_lazy_reorder: bool = False,
 ):
     """Generate token ids from encoded images/video.
 
@@ -149,8 +159,20 @@ def blip_generate_ids(
         # int8-dot kernel and degrades to the int8-store dequant path.
         cross_k, cross_v = M.quantize_cross_kv(cross_k, cross_v)
     cross_bias = M.invert_attention_mask(jnp.ones(kv_src.shape[:2], jnp.int32))
+    # decode_layer_unroll / decode_lazy_reorder: logic-identical decode
+    # restructurings (see init_self_cache docstring for the measured costs
+    # they remove; CPU tests assert bit-equality). Caveat: on TPU bf16 the
+    # unrolled per-layer bodies fuse/round differently than the scanned
+    # body, and beam search amplifies ulp flips — measured 73% token
+    # agreement vs stock for a 1.08x generate / 1.03x chunk speedup
+    # (benchmarks/decode_struct_ab.jsonl), hence OFF by default. Lazy
+    # reorder stays bit-identical on TPU but measured slower (0.90x) —
+    # also opt-in. Lazy only exists on the beam path: sampling never
+    # permutes the cache, so the anc gather would be pure overhead.
     cache = M.init_self_cache(med_cfg, batch, gen.max_length,
-                              dtype=cache_dtype or dtype or jnp.float32)
+                              dtype=cache_dtype or dtype or jnp.float32,
+                              unrolled=decode_layer_unroll,
+                              lazy_reorder=decode_lazy_reorder and not sample)
     prefill_fn, step_fn, reorder_fn = make_decoder_closures(
         params, cross_k, cross_v, cross_bias, med_cfg, dtype=dtype, beam_size=beam_size,
         int8_dot=(cross_kv_int8 == "dot"),

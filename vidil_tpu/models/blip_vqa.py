@@ -71,7 +71,9 @@ def vqa_train_loss(params, video_embeds, question_ids, question_mask,
 def vqa_generate_ids(params, video_embeds, question_ids, question_mask,
                      med_cfg: MedConfig, tokenizer, max_length: int = 10,
                      num_beams: int = 3, dtype=None, length_norm: str = "legacy",
-                     beam_group_kv: bool = False):
+                     beam_group_kv: bool = False,
+                     decode_layer_unroll: bool = False,
+                     decode_lazy_reorder: bool = False):
     """Beam-search answers conditioned on question states (reference :254-275)."""
     B = video_embeds.shape[0]
     question_states = encode_question(params, video_embeds, question_ids,
@@ -84,7 +86,9 @@ def vqa_generate_ids(params, video_embeds, question_ids, question_mask,
     gen = GenerationConfig(max_length=max_length, min_length=1, num_beams=num_beams,
                            eos_token_id=tokenizer.sep_token_id,
                            pad_token_id=tokenizer.pad_token_id, length_norm=length_norm)
-    cache = M.init_self_cache(med_cfg, B * num_beams, gen.max_length)
+    cache = M.init_self_cache(med_cfg, B * num_beams, gen.max_length,
+                              unrolled=decode_layer_unroll,
+                              lazy_reorder=decode_lazy_reorder)
     prefill_fn, step_fn, reorder_fn = make_decoder_closures(
         params, cross_k, cross_v, cross_bias, med_cfg, dtype=dtype, beam_size=beam_size)
     bos = jnp.full((B, 1), tokenizer.bos_token_id, jnp.int32)

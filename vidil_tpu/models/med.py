@@ -511,7 +511,8 @@ def quantize_cross_kv(k, v):
     return q(k), q(v)
 
 
-def init_self_cache(cfg: MedConfig, batch: int, max_len: int, dtype=jnp.float32):
+def init_self_cache(cfg: MedConfig, batch: int, max_len: int, dtype=jnp.float32,
+                    *, unrolled: bool = False, lazy_reorder: bool = False):
     """Fixed-shape self-attention KV cache, heads folded into the feature
     axis: (layers, batch, max_len, H*Dh).
 
@@ -521,9 +522,41 @@ def init_self_cache(cfg: MedConfig, batch: int, max_len: int, dtype=jnp.float32)
     bytes in 12x larger pieces — measured 1.8x faster reorder+update at
     the CapFilt decode shapes (384 rows x 12 layers x 20 slots) than the
     (layers, B, H, L, Dh) layout. Heads are re-split view-only at
-    attention time."""
-    shape = (cfg.num_layers, batch, max_len, cfg.hidden_size)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    attention time.
+
+    unrolled=True stores per-layer arrays (tuples of num_layers
+    (batch, max_len, H*Dh) arrays) instead of one stacked (layers, ...)
+    array, and med_decode_step runs a python-unrolled layer loop over
+    them: a lax.scan over layers re-stacks the WHOLE cache through its ys
+    every step — a pure functional-copy cost measured at 2.9 ms/step
+    (452 MB) at the CapFilt shapes (benchmarks/capfilt_profile.jsonl
+    stepx rows). Measured A/B (benchmarks/decode_struct_ab.jsonl):
+    1.08x generate / 1.03x full-chunk — but on TPU bf16 the unrolled
+    bodies fuse/round differently than the scanned body and beam search
+    amplifies the ulp flips (73% token agreement vs stock; CPU f32 is
+    bit-identical), so it stays opt-in.
+
+    lazy_reorder=True adds an int32 'anc' ancestry matrix (batch,
+    max_len): beam reorders then gather ONLY this matrix instead of
+    physically permuting the K/V cache (2.3-2.8 ms/step at the CapFilt
+    shapes), and the decode step reads the cache through it
+    (take_along_axis). anc[r, t] = the flat row whose slot-t entry is in
+    row r's beam history, so the gathered values are exactly the
+    physically-reordered ones — token outputs are bit-identical (tested).
+    """
+    shape = (batch, max_len, cfg.hidden_size)
+    if unrolled:
+        cache = {
+            "k": tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
+            "v": tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
+        }
+    else:
+        full = (cfg.num_layers,) + shape
+        cache = {"k": jnp.zeros(full, dtype), "v": jnp.zeros(full, dtype)}
+    if lazy_reorder:
+        cache["anc"] = jnp.broadcast_to(
+            jnp.arange(batch, dtype=jnp.int32)[:, None], (batch, max_len))
+    return cache
 
 
 def _fold_heads(x):
@@ -568,10 +601,21 @@ def med_decode_prefill(
     # fold heads into the cache storage layout (layers, B, Lp, H*Dh)
     ks = jax.vmap(_fold_heads)(ks)
     vs = jax.vmap(_fold_heads)(vs)
-    cache = {
-        "k": jax.lax.dynamic_update_slice(cache["k"], ks.astype(cache["k"].dtype), (0, 0, 0, 0)),
-        "v": jax.lax.dynamic_update_slice(cache["v"], vs.astype(cache["v"].dtype), (0, 0, 0, 0)),
-    }
+    if isinstance(cache["k"], tuple):  # unrolled per-layer layout
+        kd = cache["k"][0].dtype
+        new = dict(
+            cache,
+            k=tuple(jax.lax.dynamic_update_slice(c, ks[i].astype(kd), (0, 0, 0))
+                    for i, c in enumerate(cache["k"])),
+            v=tuple(jax.lax.dynamic_update_slice(c, vs[i].astype(kd), (0, 0, 0))
+                    for i, c in enumerate(cache["v"])),
+        )
+        return x, new
+    cache = dict(
+        cache,
+        k=jax.lax.dynamic_update_slice(cache["k"], ks.astype(cache["k"].dtype), (0, 0, 0, 0)),
+        v=jax.lax.dynamic_update_slice(cache["v"], vs.astype(cache["v"].dtype), (0, 0, 0, 0)),
+    )
     return x, cache
 
 
@@ -588,7 +632,8 @@ def med_decode_step(
     Returns (logits (B, V), new_cache).
     """
     B = token_ids.shape[0]
-    max_len = cache["k"].shape[2]
+    unrolled = isinstance(cache["k"], tuple)
+    max_len = (cache["k"][0] if unrolled else cache["k"]).shape[-2]
     H = cfg.num_heads
     Dh = cfg.hidden_size // H
     x = med_embeddings(params, token_ids[:, None], cfg, position_offset=step_index, dtype=dtype)
@@ -598,9 +643,14 @@ def med_decode_step(
     step_bias = jnp.where(pos <= step_index, 0.0, NEG_INF)[None, None, None, :]
     scale = 1.0 / math.sqrt(Dh)
 
-    def body(carry, scanned):
-        layer, k_cache, v_cache, ck, cv = scanned
-        x = carry
+    # lazy beam reorder: rows never move; this step's own K/V belongs to
+    # this row, so stamp anc[:, step] = arange before the gathers below
+    anc = cache.get("anc")
+    if anc is not None:
+        anc = jax.lax.dynamic_update_slice(
+            anc, jnp.arange(B, dtype=jnp.int32)[:, None], (0, step_index))
+
+    def layer_step(layer, k_cache, v_cache, ck, cv, x):
         q = split_heads(linear(layer["self_attn"]["query"], x, dtype=dtype), cfg.num_heads)
         # single-token K/V: (B, 1, H*Dh) row-contiguous with the folded
         # cache layout — one slab write per row instead of H strided ones
@@ -612,24 +662,56 @@ def med_decode_step(
         v_cache = jax.lax.dynamic_update_slice(
             v_cache, v_new.astype(v_cache.dtype), (0, step_index, 0)
         )
+        if anc is not None:
+            # read through the ancestry permutation — same values a
+            # physical reorder would have produced, bit-identical outputs
+            k_read = jnp.take_along_axis(k_cache, anc[:, :, None], axis=0)
+            v_read = jnp.take_along_axis(v_cache, anc[:, :, None], axis=0)
+        else:
+            k_read, v_read = k_cache, v_cache
         # attention reads re-split heads view-only: (B, L, H, Dh)
-        k4 = k_cache.reshape(B, max_len, H, Dh).astype(q.dtype)
-        v4 = v_cache.reshape(B, max_len, H, Dh).astype(q.dtype)
+        k4 = k_read.reshape(B, max_len, H, Dh).astype(q.dtype)
+        v4 = v_read.reshape(B, max_len, H, Dh).astype(q.dtype)
         logits = jnp.einsum("bhqd,bkhd->bhqk", q, k4,
                             preferred_element_type=jnp.float32) * scale
         probs = jax.nn.softmax(logits + step_bias, axis=-1)
         ctx = merge_heads(jnp.einsum("bhqk,bkhd->bhqd", probs.astype(v4.dtype), v4))
         h = linear(layer["self_attn"]["out"], ctx, dtype=dtype)
         x = layer_norm(layer["self_attn"]["norm"], h + x, cfg.layer_norm_eps)
-        if cross_k is not None:
+        if ck is not None:
             x = _attn_block_precomputed_kv(
                 layer["cross_attn"], x, ck, cv, cross_bias, cfg.num_heads,
                 cfg.layer_norm_eps, dtype, beam_size=beam_size, int8_dot=int8_dot,
             )
         x = _ffn_block(layer, x, cfg, dtype=dtype)
-        return x, (k_cache, v_cache)
+        return x, k_cache, v_cache
 
-    scanned = (params["layers"], cache["k"], cache["v"], cross_k, cross_v)
-    x, (new_k, new_v) = jax.lax.scan(body, x, scanned)
+    if unrolled:
+        # python-unrolled layer loop over per-layer cache arrays: avoids
+        # re-stacking the whole cache through a scan's ys every step
+        # (2.9 ms/step of pure copy at the CapFilt decode shapes —
+        # benchmarks/capfilt_profile.jsonl stepx rows)
+        new_k, new_v = [], []
+        for i in range(cfg.num_layers):
+            layer = jax.tree.map(lambda p: p[i], params["layers"])
+            # tree.map handles both plain arrays and int8 {q8, scale} dicts
+            ck = None if cross_k is None else jax.tree.map(lambda t: t[i], cross_k)
+            cv = None if cross_v is None else jax.tree.map(lambda t: t[i], cross_v)
+            x, kc, vc = layer_step(layer, cache["k"][i], cache["v"][i], ck, cv, x)
+            new_k.append(kc)
+            new_v.append(vc)
+        new_cache = dict(cache, k=tuple(new_k), v=tuple(new_v))
+    else:
+        def body(carry, scanned):
+            layer, k_cache, v_cache, ck, cv = scanned
+            x = carry
+            x, k_cache, v_cache = layer_step(layer, k_cache, v_cache, ck, cv, x)
+            return x, (k_cache, v_cache)
+
+        scanned = (params["layers"], cache["k"], cache["v"], cross_k, cross_v)
+        x, (new_k, new_v) = jax.lax.scan(body, x, scanned)
+        new_cache = dict(cache, k=new_k, v=new_v)
+    if anc is not None:
+        new_cache["anc"] = anc
     logits = med_lm_logits(params, x[:, 0, :], cfg, dtype=dtype)
-    return logits.astype(jnp.float32), {"k": new_k, "v": new_v}
+    return logits.astype(jnp.float32), new_cache

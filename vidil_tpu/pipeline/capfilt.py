@@ -141,6 +141,9 @@ class CapFiltEngine:
         cross_kv_int8: bool | str = False,  # False | True (int8 store) | 'dot'
         # ('dot' = int8 MXU attention dots; needs beam_group_kv=True — at
         # beam_size 1 it degrades to the int8-store dequant path)
+        decode_layer_unroll: bool = False,  # unrolled per-layer decode cache
+        decode_lazy_reorder: bool = False,  # ancestry-gather beam reorder
+        # (both bit-identical-output: see med.init_self_cache docstring)
         early_exit: bool = True,
         early_readback: bool = True,
         fused_filter: bool = True,
@@ -223,6 +226,8 @@ class CapFiltEngine:
                 sample=sample, rng_key=rng, dtype=dtype,
                 beam_group_kv=beam_group_kv and not sample,
                 cross_kv_int8=cross_kv_int8,
+                decode_layer_unroll=decode_layer_unroll,
+                decode_lazy_reorder=decode_lazy_reorder,
             )
 
         @jax.jit
