@@ -188,9 +188,12 @@ def _remaining() -> float:
 
 def main():
     # persist compiled executables across runs (first compile of the beam
-    # program is minutes; cached launches skip it entirely)
-    _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                           _os.path.expanduser("~/.cache/vidil_tpu_jaxcache"))
+    # program is minutes; cached launches skip it). NOTE: must go through
+    # jax.config.update — this jax build IGNORES the env var (see
+    # vidil_tpu/utils/jaxcache.py; the setdefault we used through r4 was a
+    # silent no-op and every bench run cold-compiled everything).
+    from vidil_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     # the base record the watchdog emits if a phase hangs; updated in place
     shared: dict = {
         "metric": "capfilt_caption_filter_compute_throughput",

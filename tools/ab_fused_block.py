@@ -33,8 +33,8 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/vidil_tpu_jaxcache"))
+from vidil_tpu.utils.jaxcache import enable_persistent_cache
+enable_persistent_cache()  # jax ignores the env var; see jaxcache.py
 
 import jax
 import jax.numpy as jnp

@@ -23,8 +23,6 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/vidil_tpu_jaxcache"))
 import sys
 
 import jax
@@ -32,6 +30,9 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from vidil_tpu.utils.bench_artifact import emit
+from vidil_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache()  # jax ignores the env var; see jaxcache.py
 
 LAYERS, B, H, L, Dh = 12, 384, 12, 20, 64
 STEPS = 16

@@ -29,8 +29,8 @@ def log(msg):
 
 
 def main():
-    _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                           _os.path.expanduser("~/.cache/vidil_tpu_jaxcache"))
+    from vidil_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()  # jax ignores the env var; see jaxcache.py
     import jax
     import jax.numpy as jnp
 

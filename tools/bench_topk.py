@@ -50,8 +50,8 @@ def exact_top_k(x, k, tile=2048):
 
 
 def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.expanduser("~/.cache/vidil_tpu_jaxcache"))
+    from vidil_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()  # jax ignores the env var; see jaxcache.py
     import jax
     import jax.numpy as jnp
 
