@@ -23,6 +23,16 @@ Extra config keys vs the reference:
   synthetic_weights: benchmarking only — synthesize full-size params on
                     device instead of loading the .pth checkpoints
                     (captions are meaningless; path/schedule identical).
+  resize_on_device: ship frames at native decode resolution and run the
+                    bicubic resize to image_size ON DEVICE (default
+                    false). ~2x fewer host->device bytes for sub-384
+                    sources AND no per-frame PIL work on the host core.
+                    All videos of a run must share one native resolution
+                    (inferred from the first video, or set native_height/
+                    native_width); off-spec videos get one host resample
+                    to that size. Resize numerics differ from PIL by
+                    ~±1/255 (same Keys a=-0.5 kernel, float vs PIL's
+                    fixed-point), so the parity default stays off.
 """
 
 from __future__ import annotations
@@ -108,6 +118,8 @@ def build_engine(config, dtype=None):
 def main(args, config):
     import jax
 
+    from PIL import Image
+
     from vidil_tpu import utils
     from vidil_tpu.data.sampling import load_video_frames
     from vidil_tpu.pipeline.capfilt import preprocess_frames_pil
@@ -148,8 +160,21 @@ def main(args, config):
     t_steady = None       # set when the first chunk completes (post-compile)
     n_frames_steady = 0
 
+    resize_dev = bool(config.get("resize_on_device", False))
+    # native (H, W) the chunk programs are compiled for: explicit config
+    # keys, else inferred from the first decoded video (even dims for I420)
+    import threading
+
+    _native_hw = [None]
+    if config.get("native_height") and config.get("native_width"):
+        _native_hw[0] = (int(config["native_height"]) & ~1,
+                         int(config["native_width"]) & ~1)
+    _native_lock = threading.Lock()
+    _offspec_warned = [False]
+
     def decode_item(item):
-        """Host-side decode + PIL resize of one video (thread-parallel)."""
+        """Host-side decode (+ PIL resize unless resize_on_device) of one
+        video (thread-parallel)."""
         frames = load_video_frames(
             item["video_path"], config["frm_sampling_strategy"], num_frm,
             height=config.get("height"), width=config.get("width"),
@@ -158,7 +183,27 @@ def main(args, config):
         )
         if frames is None:
             return None
-        pre = preprocess_frames_pil(frames, image_size)
+        if resize_dev:
+            # ship native-resolution frames; the engine's encode program
+            # runs the bicubic to image_size on device. One shared native
+            # shape keeps every chunk on the same compiled program.
+            with _native_lock:
+                if _native_hw[0] is None:
+                    _native_hw[0] = (frames.shape[1] & ~1, frames.shape[2] & ~1)
+            h, w = _native_hw[0]
+            if frames.shape[1:3] != (h, w):
+                if not _offspec_warned[0]:
+                    _offspec_warned[0] = True
+                    print(f"resize_on_device: video {item['video_id']} decodes "
+                          f"at {frames.shape[1]}x{frames.shape[2]}, host-resampling "
+                          f"off-spec videos to the chunk-native {h}x{w}")
+                pre = np.empty((len(frames), h, w, 3), np.uint8)
+                for i, frm in enumerate(frames):
+                    pre[i] = np.asarray(Image.fromarray(frm).resize((w, h), Image.BICUBIC))
+            else:
+                pre = frames[:, :h, :w]
+        else:
+            pre = preprocess_frames_pil(frames, image_size)
         if config.get("transfer_format", "rgb") == "yuv420":
             from vidil_tpu.ops.image import rgb_to_yuv420
 

@@ -35,7 +35,7 @@ def test_regression_detected_canary_normalized(tmp_path, monkeypatch):
     _with_repo(monkeypatch, tmp_path)
     new = dict(BASE, value=130.5, chip_canary_tflops=69.2)
     warn = check_regression(new, tolerance=0.10)
-    assert warn is not None and "below the best committed row" in warn
+    assert warn is not None and "below the median of the top-5 committed rows" in warn
 
 
 def test_no_warning_within_tolerance(tmp_path, monkeypatch):
@@ -68,3 +68,19 @@ def test_missing_artifact_or_canary_is_silent(tmp_path, monkeypatch):
         for r in _write_rows:
             f.write(json.dumps(r) + "\n")
     assert check_regression(dict(BASE, value=1.0)) is None
+
+
+def test_lucky_top_row_does_not_flag_normal_run(tmp_path, monkeypatch):
+    # measured 2026-08-19 same-commit spread: 2.151 vs 2.512 normalized
+    # (14.4%). Baseline = median of top-5, so one lucky session at the top
+    # must not flag the next healthy run.
+    rows = [dict(BASE, value=v, chip_canary_tflops=c) for v, c in
+            [(167.07, 73.6), (167.08, 73.3), (166.90, 73.6),
+             (167.99, 71.7), (194.15, 77.3)]]
+    _write(tmp_path, rows)
+    _with_repo(monkeypatch, tmp_path)
+    healthy = dict(BASE, value=173.6, chip_canary_tflops=80.7)
+    assert check_regression(healthy, tolerance=0.15) is None
+    # but a genuine r4-scale regression still trips
+    regressed = dict(BASE, value=130.5, chip_canary_tflops=69.2)
+    assert check_regression(regressed, tolerance=0.15) is not None

@@ -215,3 +215,50 @@ def test_cli_synthetic_weights(workdir):
     capfilt = json.load(open(os.path.join(out_dir, "video_text_CapFilt.json")))
     assert set(cap.keys()) == {"video0", "video1", "video2"}
     assert set(capfilt.keys()) == set(cap.keys())
+
+
+def test_cli_resize_on_device(workdir):
+    """resize_on_device: frames ship at native decode resolution (48x64
+    here) and the engine bicubic-resizes to image_size on device. Output
+    contract (file tree, key sets) unchanged; caption strings may differ
+    from the PIL run only by the resize-kernel numerics."""
+    import run_video_CapFilt as cli
+
+    out_dir = str(workdir.root / "out_devresize")
+    args = types.SimpleNamespace(
+        output_dir=out_dir, seed=42, world_size=1, dist_url="env://",
+        distributed=False, device="cpu",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    cli.main(args, dict(workdir.config, resize_on_device=True,
+                        transfer_format="yuv420"))
+
+    capfilt = json.load(open(os.path.join(out_dir, "video_text_CapFilt.json")))
+    cap = json.load(open(os.path.join(out_dir, "video_text_Cap.json")))
+    assert set(cap.keys()) == {"video0", "video1", "video2"}
+    assert set(capfilt.keys()) == set(cap.keys())
+    for texts in capfilt.values():
+        assert texts and all(isinstance(t, str) for t in texts)
+    assert not os.path.exists(os.path.join(out_dir, "tmp"))
+
+
+def test_cli_resize_on_device_offspec_fallback(workdir, capsys):
+    """Declared native_height/width different from the actual decode size:
+    every video takes the off-spec host-resample path (one PIL resize to
+    the declared native size, then the device resize) and the run still
+    completes with the full output contract."""
+    import run_video_CapFilt as cli
+
+    out_dir = str(workdir.root / "out_devresize_offspec")
+    args = types.SimpleNamespace(
+        output_dir=out_dir, seed=42, world_size=1, dist_url="env://",
+        distributed=False, device="cpu",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    cli.main(args, dict(workdir.config, resize_on_device=True,
+                        native_height=24, native_width=40))
+    captured = capsys.readouterr().out
+    assert "host-resampling off-spec videos to the chunk-native 24x40" in captured
+
+    cap = json.load(open(os.path.join(out_dir, "video_text_Cap.json")))
+    assert set(cap.keys()) == {"video0", "video1", "video2"}

@@ -102,3 +102,69 @@ def test_native_yuv_needs_even_size(video):
     odd = NativeVideoReader(video, width=33, height=24)
     with pytest.raises(ValueError):
         odd.get_batch_yuv([0])
+
+
+def _pil_preprocess(rgb_u8, size):
+    from PIL import Image
+
+    from vidil_tpu.ops.image import CLIP_MEAN, CLIP_STD
+
+    out = np.empty((len(rgb_u8), size, size, 3), np.float32)
+    for i, frm in enumerate(rgb_u8):
+        out[i] = np.asarray(
+            Image.fromarray(frm).resize((size, size), Image.BICUBIC), np.float32)
+    out = out / 255.0
+    return (out - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)
+
+
+@pytest.mark.parametrize("hw,size", [((24, 20), 32),   # upscale
+                                     ((48, 64), 32)])  # downscale (antialias)
+def test_preprocess_any_device_resize_matches_pil(hw, size):
+    """resize_on_device ingest: jax bicubic (Keys a=-0.5, uint8-rounded)
+    tracks PIL bicubic within 1 8-bit step on smooth (natural-image-like)
+    content and p99 <= ~2 steps on pure noise (measured profile: smooth
+    max 1 step; noise p99 2 steps with rare isolated outliers up to ~17 —
+    PIL's fixed-point filter taps vs float). Close enough that the mode is
+    usable, far enough that it stays opt-in (run_video_CapFilt.py
+    resize_on_device)."""
+    from PIL import Image
+
+    from vidil_tpu.ops.image import CLIP_STD, preprocess_any
+
+    rng = np.random.RandomState(3)
+    step = np.asarray(CLIP_STD, np.float32) * 255.0  # normalized units -> 8-bit steps
+
+    # smooth content: low-res random field bilinearly upsampled
+    smooth = np.stack([
+        np.asarray(Image.fromarray(rng.randint(0, 256, (6, 6, 3), dtype=np.uint8))
+                   .resize((hw[1], hw[0]), Image.BILINEAR)) for _ in range(2)])
+    dev = np.asarray(preprocess_any(jnp.asarray(smooth), size))
+    ref = _pil_preprocess(smooth, size)
+    assert dev.shape == ref.shape == (2, size, size, 3)
+    assert (np.abs(dev - ref) * step).max() <= 1.5, (np.abs(dev - ref) * step).max()
+
+    # adversarial content: uniform noise — p99 still within 3 steps
+    noise = rng.randint(0, 256, size=(2,) + hw + (3,), dtype=np.uint8)
+    dev = np.asarray(preprocess_any(jnp.asarray(noise), size))
+    ref = _pil_preprocess(noise, size)
+    assert np.percentile(np.abs(dev - ref) * step, 99) <= 3.0
+
+
+def test_preprocess_any_native_yuv_resize():
+    """Native-res YUV planes -> resized normalized tensor; same-resolution
+    input goes through the classic no-resize path and matches exactly."""
+    from vidil_tpu.ops.image import preprocess_any
+
+    rng = np.random.RandomState(5)
+    rgb = rng.randint(0, 256, size=(3, 24, 20, 3), dtype=np.uint8)
+    yuv = rgb_to_yuv420(rgb)
+    out = np.asarray(preprocess_any(YUV420Frames(*map(jnp.asarray, yuv)), 32))
+    assert out.shape == (3, 32, 32, 3)
+    # at-size input: preprocess_any == manual convert+normalize, bit-exact
+    rgb32 = rng.randint(0, 256, size=(3, 32, 32, 3), dtype=np.uint8)
+    from vidil_tpu.ops.image import CLIP_MEAN, CLIP_STD
+
+    manual = (rgb32.astype(np.float32) / 255.0 - np.asarray(CLIP_MEAN, np.float32)) \
+        / np.asarray(CLIP_STD, np.float32)
+    np.testing.assert_allclose(
+        np.asarray(preprocess_any(jnp.asarray(rgb32), 32)), manual, rtol=0, atol=1e-6)

@@ -1,13 +1,15 @@
 """Regression tripwire for the headline bench (VERDICT r4 item 8).
 
-Compares a freshly measured bench record against the best committed row in
+Compares a freshly measured bench record against the committed rows in
 ``benchmarks/capfilt.jsonl``, canary-normalized: the tunnel chip's
 effective rate swings ~2x by time of day, so raw frames/s comparisons
-across sessions are meaningless — but value/canary is stable for the same
-code. Returns a warning string when the new row reads more than
-``tolerance`` below the best prior normalized rate (the fused-ON default
-regression of r4 — 130.5 f/s @ canary 69.2 vs 167.4 @ 76.9, i.e. 1.89 vs
-2.18 f/s per canary-TFLOP — would have tripped this at 13%).
+across sessions are meaningless — value/canary is far more stable for the
+same code, but still shows ~14% same-day spread between healthy runs
+(2.151 vs 2.512 measured 2026-08-19, same commit). The baseline is
+therefore the MEDIAN of the top-5 comparable committed rows, not the
+single best (the luckiest run): median top-5 currently 2.279, so a
+healthy 2.15 run passes while the r4 fused-ON default regression
+(130.5 f/s @ canary 69.2 = 1.886, 17% below) trips the 15% tolerance.
 
 Pure stdlib; never raises out (bench.py must always emit its one line).
 """
@@ -42,8 +44,7 @@ def check_regression(record: dict, artifact: str = "capfilt",
     new_norm = _normalized(record)
     if new_norm is None:
         return None
-    best = None
-    best_row = None
+    norms = []
     with open(path) as f:
         for line in f:
             line = line.strip()
@@ -62,16 +63,19 @@ def check_regression(record: dict, artifact: str = "capfilt",
                     and row.get("fused_vit_block") != record.get("fused_vit_block")):
                 continue
             n = _normalized(row)
-            if n is not None and (best is None or n > best):
-                best, best_row = n, row
-    if best is None:
+            if n is not None:
+                norms.append(n)
+    if not norms:
         return None
-    if new_norm < best * (1.0 - tolerance):
+    # baseline = median of the top-5 normalized rates: robust to one lucky
+    # session at the top and to old slow rows at the bottom
+    top = sorted(norms, reverse=True)[:5]
+    baseline = sorted(top)[len(top) // 2]
+    if new_norm < baseline * (1.0 - tolerance):
         return (f"canary-normalized rate {new_norm:.3f} f/s-per-canary-TFLOP is "
-                f"{(1 - new_norm / best) * 100:.0f}% below the best committed row "
-                f"({best:.3f}, {best_row.get('value')} f/s @ canary "
-                f"{best_row.get('chip_canary_tflops')}, "
-                f"{best_row.get('timestamp', '?')}) — investigate before shipping")
+                f"{(1 - new_norm / baseline) * 100:.0f}% below the median of the "
+                f"top-5 committed rows ({baseline:.3f}) — investigate before "
+                f"shipping")
     return None
 
 

@@ -101,6 +101,32 @@ def yuv420_to_rgb(y, u, v):
     return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
 
 
+def preprocess_any(frames, image_size: int, mean=CLIP_MEAN, std=CLIP_STD):
+    """Jittable ingest: uint8 RGB (B, H, W, 3) or YUV420Frames planes ->
+    CLIP-normalized float32 (B, S, S, 3).
+
+    When the input's spatial dims already equal `image_size` this is the
+    classic colorspace + normalize fuse (the host did the PIL resize, the
+    reference's byte-parity contract: run_video_CapFilt.py:128-137). When
+    they differ — the `resize_on_device` ingest mode, frames shipped at
+    native decode resolution for ~2x fewer host->device bytes and no
+    host-core PIL work — a bicubic resize with uint8 rounding (mirroring
+    PIL's quantization) runs on device. Keys a=-0.5 kernel both places;
+    divergence vs the PIL path is ~±1/255 per pixel, which is why the
+    mode is opt-in rather than the parity default.
+    """
+    if isinstance(frames, YUV420Frames):
+        x = yuv420_to_rgb(*frames)  # float32 [0, 255]
+    else:
+        x = frames.astype(jnp.float32)
+    if x.shape[1:3] != (image_size, image_size):
+        x = jax.image.resize(
+            x, (x.shape[0], image_size, image_size, x.shape[3]),
+            method="bicubic", antialias=True)
+        x = jnp.clip(jnp.round(x), 0.0, 255.0)
+    return normalize(x / 255.0, mean, std)
+
+
 def rgb_to_yuv420(frames_u8: np.ndarray) -> YUV420Frames:
     """Host-side uint8 RGB (F, H, W, 3) -> full-range BT.601 I420 planes.
 

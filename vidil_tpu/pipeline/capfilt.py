@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from vidil_tpu.config import MedConfig, ViTConfig
 from vidil_tpu.models import blip as B
 from vidil_tpu.ops.generation import GenerationConfig
-from vidil_tpu.ops.image import CLIP_MEAN, CLIP_STD, YUV420Frames, normalize, yuv420_to_rgb
+from vidil_tpu.ops.image import (CLIP_MEAN, CLIP_STD, YUV420Frames,
+                                 preprocess_any)
 from vidil_tpu.pipeline.fused_filter import (
     fused_applicable, itm_ids_from_seqs, itm_ids_from_seqs_np,
 )
@@ -232,14 +233,14 @@ class CapFiltEngine:
 
         @jax.jit
         def _encode(params, frames_u8):
-            # frames arrive as uint8 RGB (B, S, S, 3) or as a YUV420Frames
-            # plane tuple (half the host->device bytes; colorspace conversion
-            # fuses into this program). jit retraces per input structure.
-            if isinstance(frames_u8, YUV420Frames):
-                x = yuv420_to_rgb(*frames_u8) / 255.0
-            else:
-                x = frames_u8.astype(jnp.float32) / 255.0
-            x = (x - mean) / std
+            # frames arrive as uint8 RGB or a YUV420Frames plane tuple
+            # (half the host->device bytes; colorspace conversion fuses
+            # into this program), at image_size (host PIL resize, the
+            # parity default) or at native decode resolution
+            # (resize_on_device: bicubic runs on device, ~2x fewer link
+            # bytes for sub-384 sources). jit retraces per input
+            # structure/shape; see ops/image.preprocess_any.
+            x = preprocess_any(frames_u8, vit_cfg.image_size, mean, std)
             return B.encode_images(params, x, vit_cfg, dtype=dtype)
 
         def _caption(frames_u8, rng, sample=False):
